@@ -1,0 +1,70 @@
+"""Deterministic edge-table derivations shared by Spark queries and the
+DuckDB oracle SQL.
+
+The driver's correctness gate runs each Spark query against ANSI SQL on the
+same parquet tables, so the graph used for oracle-checked workloads must be
+derivable identically in both engines. We derive a multigraph from the
+``events`` table with pure integer arithmetic (no engine hash functions):
+
+    V   = max(user_id) + 1                    (dense 0..V-1)
+    src = user_id
+    dst = (user_id*31 + event_id*17 + 7) % V
+    w   = ((src*7 + dst*13) % 100) / 10 + 0.1 (SSSP weights)
+
+Parallel edges arise naturally and are kept (reference semantics: the
+loader counts every tuple, core/graph.hpp:358-359). The pages→extract→
+encode pipeline produces the same (src_id, dst_id) shape; algorithms are
+agnostic to which source built the edge table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EDGES_SQL = """
+    SELECT CAST(user_id AS BIGINT) AS src,
+           CAST((user_id*31 + event_id*17 + 7)
+                % (SELECT MAX(user_id)+1 FROM events) AS BIGINT) AS dst
+    FROM events
+"""
+
+WEIGHTED_EDGES_SQL = f"""
+    SELECT src, dst,
+           CAST((src*7 + dst*13) % 100 AS DOUBLE)/10.0 + 0.1 AS w
+    FROM ({EDGES_SQL})
+"""
+
+VERTICES_SQL = f"""
+    SELECT DISTINCT v FROM (
+        SELECT src AS v FROM ({EDGES_SQL})
+        UNION ALL SELECT dst AS v FROM ({EDGES_SQL})
+    )
+"""
+
+
+def events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src long, dst long) multigraph derived from events.parquet."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.agg(F.max("user_id")).first()[0] + 1
+    return ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        ((F.col("user_id") * 31 + F.col("event_id") * 17 + 7) % F.lit(int(n)))
+        .cast("long")
+        .alias("dst"),
+    )
+
+
+def weighted_events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_edges(spark, sf_dir)
+    return e.withColumn(
+        "w", ((F.col("src") * 7 + F.col("dst") * 13) % 100).cast("double") / 10.0 + 0.1
+    )
+
+
+def symmetrize_df(edges: DataFrame) -> DataFrame:
+    """Non-deduped symmetrization (reference load_undirected_from_directed,
+    core/graph.hpp:572-587: every edge also shipped reversed)."""
+    return edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )

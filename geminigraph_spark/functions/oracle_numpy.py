@@ -1,0 +1,161 @@
+"""Pure-numpy implementations of the reference recurrences.
+
+These are the parity targets for every Spark implementation (SURVEY.md §5):
+they transcribe the *semantics* of the reference kernels (not the code) —
+including PageRank's pre-divided state, undivided final iteration and
+dropped dangling mass (toolkits/pagerank.cpp:36-44, 77-97), CC's min-label
+fixpoint over the symmetrized multiset (toolkits/cc.cpp:22-109 +
+core/graph.hpp:572-587 non-deduped symmetrization), and the two extension
+kernels (label propagation with mode combiner, triangle counting by
+degree-ordered intersection) whose semantics SURVEY.md §2.3 A6/A7 defines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pagerank_ref(
+    src: np.ndarray, dst: np.ndarray, n: int, iters: int = 20, d: float = 0.85
+) -> np.ndarray:
+    """Reference PageRank recurrence (pagerank.cpp:24-99).
+
+    State is stored pre-divided by out-degree between iterations; the final
+    iteration leaves values undivided; dangling vertices emit nothing (their
+    mass is dropped, not redistributed).
+    """
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    curr = np.ones(n, dtype=np.float64)
+    nz = outdeg > 0
+    curr[nz] /= outdeg[nz]
+    for i in range(iters):
+        nxt = np.zeros(n, dtype=np.float64)
+        np.add.at(nxt, dst, curr[src])
+        nxt = (1.0 - d) + d * nxt
+        if i != iters - 1:
+            nxt[nz] /= outdeg[nz]
+        curr = nxt
+    return curr
+
+
+def symmetrize(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Non-deduping symmetrization (graph.hpp:572-587): every edge also
+    reversed; parallel edges preserved."""
+    return np.concatenate([src, dst]), np.concatenate([dst, src])
+
+
+def cc_ref(src: np.ndarray, dst: np.ndarray, n: int, max_iters: int = 1000) -> np.ndarray:
+    """Min-label propagation (HashMin) over the symmetrized graph to
+    fixpoint — synchronous Jacobi iterations; the converged labels equal
+    the reference's converged labels (cc.cpp:22-109)."""
+    s, t = symmetrize(src, dst)
+    label = np.arange(n, dtype=np.int64)
+    for _ in range(max_iters):
+        nxt = label.copy()
+        np.minimum.at(nxt, t, label[s])
+        if np.array_equal(nxt, label):
+            break
+        label = nxt
+    return label
+
+
+def lp_ref(src: np.ndarray, dst: np.ndarray, n: int, iters: int = 10) -> np.ndarray:
+    """Label propagation, SURVEY §2.3 A6 semantics: synchronized updates on
+    the symmetrized multiset graph; new label = most frequent incoming
+    label, ties broken by smallest label; isolated vertices keep theirs."""
+    s, t = symmetrize(src, dst)
+    label = np.arange(n, dtype=np.int64)
+    for _ in range(iters):
+        lab_in = label[s]
+        # count (dst, label) pairs
+        key = t * (n + 1) + lab_in
+        uk, cnt = np.unique(key, return_counts=True)
+        kd = uk // (n + 1)
+        kl = uk % (n + 1)
+        # order by (dst, -count, label): pick first per dst
+        order = np.lexsort((kl, -cnt, kd))
+        kd, kl = kd[order], kl[order]
+        first = np.ones(len(kd), dtype=bool)
+        first[1:] = kd[1:] != kd[:-1]
+        nxt = label.copy()
+        nxt[kd[first]] = kl[first]
+        label = nxt
+    return label
+
+
+def tc_ref(src: np.ndarray, dst: np.ndarray, n: int) -> tuple[int, np.ndarray]:
+    """Triangle count, SURVEY §2.3 A7: distinct undirected edges, no self
+    loops; orient low-(degree, id) → high-(degree, id); count intersections.
+    Returns (global_count, per_vertex_counts)."""
+    a = np.minimum(src, dst)
+    b = np.maximum(src, dst)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    und = np.unique(a * np.int64(n + 1) + b)
+    a, b = und // (n + 1), und % (n + 1)
+    deg = np.bincount(np.concatenate([a, b]), minlength=n)
+    # rank = (degree, id)
+    rank = np.argsort(np.lexsort((np.arange(n), deg)))
+    lo = np.where(rank[a] < rank[b], a, b)
+    hi = np.where(rank[a] < rank[b], b, a)
+    adj: dict[int, set[int]] = {}
+    for x, y in zip(lo.tolist(), hi.tolist()):
+        adj.setdefault(x, set()).add(y)
+    total = 0
+    per_v = np.zeros(n, dtype=np.int64)
+    for x, y in zip(lo.tolist(), hi.tolist()):
+        common = adj.get(x, set()) & adj.get(y, set())
+        c = len(common)
+        total += c
+        if c:
+            per_v[x] += c
+            per_v[y] += c
+            for z in common:
+                per_v[z] += 1
+    return total, per_v
+
+
+def sssp_ref(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    n: int,
+    root: int = 0,
+    max_iters: int = 10000,
+) -> np.ndarray:
+    """Bellman-Ford relaxation to fixpoint, init 1e9 (sssp.cpp:24-127)."""
+    dist = np.full(n, 1e9, dtype=np.float64)
+    dist[root] = 0.0
+    for _ in range(max_iters):
+        nxt = dist.copy()
+        np.minimum.at(nxt, dst, dist[src] + w)
+        if np.array_equal(nxt, dist):
+            break
+        dist = nxt
+    return dist
+
+
+def bfs_depth_ref(
+    src: np.ndarray, dst: np.ndarray, n: int, root: int = 0
+) -> np.ndarray:
+    """BFS depth from root along directed edges; unreached = -1. (The
+    reference's parent array is CAS-race nondeterministic, bfs.cpp:53 —
+    depth is the deterministic invariant we test.)"""
+    depth = np.full(n, -1, dtype=np.int64)
+    depth[root] = 0
+    frontier = np.array([root], dtype=np.int64)
+    level = 0
+    order = np.argsort(src, kind="stable")
+    s_sorted, d_sorted = src[order], dst[order]
+    starts = np.searchsorted(s_sorted, np.arange(n))
+    ends = np.searchsorted(s_sorted, np.arange(n) + 1)
+    while len(frontier):
+        level += 1
+        nbrs = np.concatenate(
+            [d_sorted[starts[v] : ends[v]] for v in frontier.tolist()]
+        ) if len(frontier) else np.array([], dtype=np.int64)
+        nbrs = np.unique(nbrs)
+        new = nbrs[depth[nbrs] < 0]
+        depth[new] = level
+        frontier = new
+    return depth

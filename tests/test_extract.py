@@ -1,0 +1,84 @@
+"""Extraction parity: links and text recovered byte-identically from HTML
+(the per-row invariant from BASELINE.json input_hint)."""
+
+import numpy as np
+import pandas as pd
+
+from geminigraph_spark.sources.extract import (
+    extract_links,
+    extract_text,
+    links_from_pandas,
+    text_from_pandas,
+)
+from geminigraph_spark.sources.pages_fixture import (
+    gen_pages_df,
+    gen_pages_pandas,
+    golden_edges_pandas,
+)
+
+N = 200
+
+
+def test_links_match_golden_pandas():
+    pages = gen_pages_pandas(N)
+    golden = golden_edges_pandas(N)
+    got = links_from_pandas(pages)
+    g = golden.sort_values(["src_url", "j"]).reset_index(drop=True)
+    e = got.sort_values(["src_url", "link_pos"]).reset_index(drop=True)
+    assert len(g) == len(e)
+    assert (g["src_url"].values == e["src_url"].values).all()
+    assert (g["dst_url"].values == e["dst_url"].values).all()
+    assert (g["j"].values == e["link_pos"].values).all()
+
+
+def test_text_byte_identical_pandas():
+    pages = gen_pages_pandas(N)
+    got = text_from_pandas(pages)
+    assert (got["text"].values == pages["text"].values).all()
+
+
+def test_extract_links_spark(spark):
+    pages = gen_pages_df(spark, N, partitions=3)
+    links = extract_links(pages).toPandas()
+    golden = golden_edges_pandas(N)
+    g = golden.sort_values(["src_url", "j"]).reset_index(drop=True)
+    e = links.sort_values(["src_url", "link_pos"]).reset_index(drop=True)
+    assert len(g) == len(e)
+    assert (g["dst_url"].values == e["dst_url"].values).all()
+
+
+def test_extract_text_spark_byte_identical(spark):
+    pages = gen_pages_df(spark, N, partitions=3)
+    got = extract_text(pages).toPandas().sort_values("url").reset_index(drop=True)
+    want = (
+        gen_pages_pandas(N)[["url", "text"]].sort_values("url").reset_index(drop=True)
+    )
+    assert (got["url"].values == want["url"].values).all()
+    assert (got["text"].values == want["text"].values).all()
+
+
+def test_distributed_generation_matches_driver(spark):
+    d = gen_pages_df(spark, N, partitions=5).toPandas().sort_values("url")
+    p = gen_pages_pandas(N).sort_values("url")
+    assert (d["html"].map(bytes).values == p["html"].values).all()
+    assert (d["lang"].values == p["lang"].values).all()
+
+
+def test_fixture_shape():
+    pages = gen_pages_pandas(1000)
+    golden = golden_edges_pandas(1000)
+    deg = golden.groupby("src_url").size()
+    dangling = 1000 - len(deg)
+    assert 0.05 < dangling / 1000 < 0.20  # ~10% dangling
+    assert deg.max() <= 50
+    # external targets exist and are materialized in edge list
+    assert golden["dst_url"].str.startswith("https://ext").any()
+    # self-loops exist
+    assert (golden["src_url"] == golden["dst_url"]).any()
+    # duplicate links exist somewhere (multiset edges)
+    assert golden.duplicated(["src_url", "dst_url"]).any()
+    # determinism
+    assert golden.equals(golden_edges_pandas(1000))
+    assert np.array_equal(
+        gen_pages_pandas(100)["html"].values, gen_pages_pandas(100)["html"].values
+    )

