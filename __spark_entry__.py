@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship 20-iteration PageRank over the
+deterministic edge table derived from events at sf0.001.
+
+``queries()`` / ``oracle_sql()`` expose each implemented operator from
+SURVEY.md §2 with a matching DuckDB oracle; iterative kernels are unrolled
+in SQL (see geminigraph_spark/functions/sql_oracles.py). Float results are
+compared as exact ppm integers (round(value*1e6)) on BOTH sides.
 """
 
 from __future__ import annotations
@@ -12,27 +14,89 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geminigraph_spark.functions import sql_oracles as S
+from geminigraph_spark.functions.edges import events_edges, weighted_events_edges
+from geminigraph_spark.functions.graph_algos import (
+    bfs_depths,
+    connected_components,
+    degrees,
+    label_propagation,
+    pagerank,
+    sssp,
+    triangle_count,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _ppm(df: DataFrame, col: str, out: str) -> DataFrame:
+    return df.select(
+        "id", F.round(F.col(col) * 1000000).cast("long").alias(out)
+    )
+
+
+def q_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_edges(spark, sf_dir)
+
+
+def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degrees(events_edges(spark, sf_dir))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ppm(pagerank(events_edges(spark, sf_dir), iters=20), "rank", "rank_ppm")
+
+
+def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return connected_components(events_edges(spark, sf_dir))
+
+
+def q_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_propagation(events_edges(spark, sf_dir), iters=5)
+
+
+def q_tc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_count(events_edges(spark, sf_dir))
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ppm(
+        sssp(weighted_events_edges(spark, sf_dir), root=0), "dist", "dist_ppm"
+    )
+
+
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bfs_depths(events_edges(spark, sf_dir), root=0)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 20-iteration reference-semantics PageRank at sf0.001."""
+    return pagerank(events_edges(spark, SF0001), iters=20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "edge_table": q_edge_table,
+        "degrees": q_degrees,
+        "pagerank": q_pagerank,
+        "cc": q_cc,
+        "label_propagation": q_lp,
+        "triangle_count": q_tc,
+        "sssp": q_sssp,
+        "bfs": q_bfs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "edge_table": S.edge_table_sql(),
+        "degrees": S.degrees_sql(),
+        "pagerank": S.pagerank_sql(iters=20),
+        "cc": S.cc_sql(iters=25),
+        "label_propagation": S.lp_sql(iters=5),
+        "triangle_count": S.triangle_count_sql(),
+        "sssp": S.sssp_sql(iters=25, root=0),
+        "bfs": S.bfs_sql(iters=25, root=0),
+    }

@@ -48,6 +48,23 @@ def _collapsed(edges: DataFrame) -> DataFrame:
     return edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def degrees(edges: DataFrame) -> DataFrame:
+    """(id, out_degree, in_degree) over the edge multiset — the loader's
+    degree pass (core/graph.hpp:798-821): every tuple counts."""
+    verts = _vertices_of(edges)
+    od = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    ind = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        verts.join(od, "id", "left")
+        .join(ind, "id", "left")
+        .fillna(0, subset=["out_degree", "in_degree"])
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 20,

@@ -1,0 +1,182 @@
+"""ANSI-SQL oracle generators for the driver's DuckDB correctness gate.
+
+Each generator emits a self-contained SQL string over the pre-registered
+``events`` view that expresses the *same recurrence* as the Spark kernel —
+iterative algorithms are unrolled into one CTE per superstep (the graphs
+derived from events are dense, diameter ≪ unroll depth, so fixpoint
+kernels are converged well before the last unrolled step).
+
+Float-valued results are compared as exact integers: both sides emit
+``round(value * 1e6)`` as BIGINT ("ppm"), sidestepping engine-specific
+double formatting in the driver's value hash while still asserting 1e-6
+agreement (the north_rule tolerance).
+"""
+
+from __future__ import annotations
+
+from .edges import EDGES_SQL, VERTICES_SQL, WEIGHTED_EDGES_SQL
+
+_PRELUDE = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+verts AS MATERIALIZED ({VERTICES_SQL}),
+"""
+
+
+def edge_table_sql() -> str:
+    return f"SELECT src, dst FROM ({EDGES_SQL})"
+
+
+def degrees_sql() -> str:
+    return (
+        _PRELUDE
+        + """
+od AS MATERIALIZED (SELECT src AS v, COUNT(*) AS c FROM edges GROUP BY src),
+id_ AS MATERIALIZED (SELECT dst AS v, COUNT(*) AS c FROM edges GROUP BY dst)
+SELECT verts.v AS id,
+       CAST(COALESCE(od.c, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(id_.c, 0) AS BIGINT) AS in_degree
+FROM verts LEFT JOIN od ON verts.v = od.v LEFT JOIN id_ ON verts.v = id_.v
+"""
+    )
+
+
+def pagerank_sql(iters: int = 20, d: float = 0.85) -> str:
+    """Reference recurrence (pagerank.cpp:24-99) unrolled: pre-divided
+    state, undivided final iteration, dangling mass dropped."""
+    parts = [
+        _PRELUDE
+        + """
+deg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS outd FROM edges GROUP BY src),
+s0 AS MATERIALIZED (SELECT verts.v,
+              CASE WHEN COALESCE(deg.outd, 0) > 0 THEN 1.0/deg.outd ELSE 1.0 END AS r
+       FROM verts LEFT JOIN deg ON verts.v = deg.v)"""
+    ]
+    for k in range(1, iters + 1):
+        last = k == iters
+        val = f"({1.0 - d:.2f} + {d:.2f}*COALESCE(m.s, 0))"
+        expr = (
+            val
+            if last
+            else f"CASE WHEN COALESCE(deg.outd, 0) > 0 THEN {val}/deg.outd ELSE {val} END"
+        )
+        parts.append(
+            f""",
+s{k} AS MATERIALIZED (SELECT verts.v, {expr} AS r
+       FROM verts
+       LEFT JOIN (SELECT e.dst AS v, SUM(p.r) AS s
+                  FROM edges e JOIN s{k-1} p ON e.src = p.v GROUP BY e.dst) m
+         ON verts.v = m.v
+       LEFT JOIN deg ON verts.v = deg.v)"""
+        )
+    parts.append(
+        f"\nSELECT v AS id, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_ppm FROM s{iters}"
+    )
+    return "".join(parts)
+
+
+def cc_sql(iters: int = 25) -> str:
+    """HashMin unrolled over the symmetrized (deduped) graph."""
+    parts = [
+        _PRELUDE
+        + """
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+c0 AS MATERIALIZED (SELECT v, v AS lab FROM verts)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+c{k} AS MATERIALIZED (SELECT c.v, LEAST(c.lab, COALESCE(m.ml, c.lab)) AS lab
+       FROM c{k-1} c
+       LEFT JOIN (SELECT e.dst AS v, MIN(p.lab) AS ml
+                  FROM sym e JOIN c{k-1} p ON e.src = p.v GROUP BY e.dst) m
+         ON c.v = m.v)"""
+        )
+    parts.append(f"\nSELECT v AS id, lab AS label FROM c{iters}")
+    return "".join(parts)
+
+
+def lp_sql(iters: int = 5) -> str:
+    """Mode-combiner label propagation (SURVEY §2.3 A6) unrolled; multiset
+    symmetrization (UNION ALL) so parallel edges weight the vote."""
+    parts = [
+        _PRELUDE
+        + """
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+l0 AS MATERIALIZED (SELECT v, v AS lab FROM verts)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+cnt{k} AS MATERIALIZED (SELECT e.dst AS v, p.lab, COUNT(*) AS c
+         FROM sym e JOIN l{k-1} p ON e.src = p.v GROUP BY e.dst, p.lab),
+pick{k} AS MATERIALIZED (SELECT v, lab FROM (
+           SELECT v, lab, ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab ASC) AS rn
+           FROM cnt{k}) t WHERE rn = 1),
+l{k} AS MATERIALIZED (SELECT l.v, COALESCE(p.lab, l.lab) AS lab
+       FROM l{k-1} l LEFT JOIN pick{k} p ON l.v = p.v)"""
+        )
+    parts.append(f"\nSELECT v AS id, lab AS label FROM l{iters}")
+    return "".join(parts)
+
+
+def triangle_count_sql() -> str:
+    """Degree-ordered oriented intersection count (SURVEY §2.3 A7)."""
+    return (
+        _PRELUDE
+        + """
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst),
+deg AS MATERIALIZED (SELECT v, COUNT(*) AS c
+        FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+o AS MATERIALIZED (SELECT CASE WHEN (da.c < db.c) OR (da.c = db.c AND a < b) THEN a ELSE b END AS lo,
+             CASE WHEN (da.c < db.c) OR (da.c = db.c AND a < b) THEN b ELSE a END AS hi
+      FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM o e1 JOIN o e2 ON e1.hi = e2.lo JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+"""
+    )
+
+
+def sssp_sql(iters: int = 25, root: int = 0) -> str:
+    parts = [
+        f"""WITH wedges AS MATERIALIZED ({WEIGHTED_EDGES_SQL}),
+verts AS MATERIALIZED ({VERTICES_SQL}),
+we AS MATERIALIZED (SELECT src, dst, MIN(w) AS w FROM wedges GROUP BY src, dst),
+d0 AS MATERIALIZED (SELECT v, CASE WHEN v = {root} THEN 0.0 ELSE 1e9 END AS dist FROM verts)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+d{k} AS MATERIALIZED (SELECT c.v, LEAST(c.dist, COALESCE(m.md, c.dist)) AS dist
+       FROM d{k-1} c
+       LEFT JOIN (SELECT e.dst AS v, MIN(p.dist + e.w) AS md
+                  FROM we e JOIN d{k-1} p ON e.src = p.v GROUP BY e.dst) m
+         ON c.v = m.v)"""
+        )
+    parts.append(
+        f"\nSELECT v AS id, CAST(ROUND(dist * 1000000) AS BIGINT) AS dist_ppm FROM d{iters}"
+    )
+    return "".join(parts)
+
+
+def bfs_sql(iters: int = 25, root: int = 0) -> str:
+    big = 1 << 62
+    parts = [
+        _PRELUDE
+        + f"""
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+b0 AS MATERIALIZED (SELECT v, CAST(CASE WHEN v = {root} THEN 0 ELSE {big} END AS BIGINT) AS d FROM verts)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+b{k} AS MATERIALIZED (SELECT c.v, LEAST(c.d, COALESCE(m.md, c.d)) AS d
+       FROM b{k-1} c
+       LEFT JOIN (SELECT e.dst AS v, MIN(p.d) + 1 AS md
+                  FROM de e JOIN b{k-1} p ON e.src = p.v AND p.d < {big}
+                  GROUP BY e.dst) m
+         ON c.v = m.v)"""
+        )
+    parts.append(
+        f"\nSELECT v AS id, CAST(CASE WHEN d >= {big} THEN -1 ELSE d END AS BIGINT) AS depth FROM b{iters}"
+    )
+    return "".join(parts)
