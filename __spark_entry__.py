@@ -16,7 +16,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geminigraph_spark.functions import docpipe as D
 from geminigraph_spark.functions import sql_oracles as S
+from geminigraph_spark.functions import sql_oracles_docs as SD
 from geminigraph_spark.functions.edges import events_edges, weighted_events_edges
 from geminigraph_spark.functions.graph_algos import (
     bfs_depths,
@@ -71,6 +73,12 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_depths(events_edges(spark, sf_dir), root=0)
 
 
+def _ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geminigraph_spark.functions.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 20-iteration reference-semantics PageRank at sf0.001."""
     return pagerank(events_edges(spark, SF0001), iters=20)
@@ -78,6 +86,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # graph workloads (SURVEY §2.3)
         "edge_table": q_edge_table,
         "degrees": q_degrees,
         "pagerank": q_pagerank,
@@ -86,6 +95,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_tc,
         "sssp": q_sssp,
         "bfs": q_bfs,
+        # training-data pipeline (documents / embeddings)
+        "token_stats": D.token_stats,
+        "quality_score": D.quality_score,
+        "lang_id": D.lang_id,
+        "doc_fingerprint": D.doc_fingerprint,
+        "dedup_exact": D.dedup_exact,
+        "minhash_signatures": D.minhash_signatures,
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "simhash": D.simhash,
+        "cosine_topk": D.cosine_topk,
+        "embedding_neardup": D.embedding_neardup,
+        # approximate NN (rows-only check: result is approximate by design,
+        # pytest asserts recall vs the exact cosine_topk oracle)
+        "ann_lsh_topk": _ann,
     }
 
 
@@ -99,4 +122,14 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": S.triangle_count_sql(),
         "sssp": S.sssp_sql(iters=25, root=0),
         "bfs": S.bfs_sql(iters=25, root=0),
+        "token_stats": SD.token_stats_sql(),
+        "quality_score": SD.quality_score_sql(),
+        "lang_id": SD.lang_id_sql(),
+        "doc_fingerprint": SD.doc_fingerprint_sql(),
+        "dedup_exact": SD.dedup_exact_sql(),
+        "minhash_signatures": SD.minhash_signatures_sql(),
+        "dedup_minhash_lsh": SD.dedup_minhash_lsh_sql(),
+        "simhash": SD.simhash_sql(),
+        "cosine_topk": SD.cosine_topk_sql(),
+        "embedding_neardup": SD.embedding_neardup_sql(),
     }

@@ -1,0 +1,219 @@
+"""Benchmark harness: GTEPS for 20-iteration PageRank + CC (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...,
+   "gteps": {...}, "graph": {...}}
+
+Two sections, mirroring the reference protocol (compute-only timing,
+toolkits/pagerank.cpp:27-28, 102-105):
+
+1. pipeline — the full Common-Crawl-style path at fixture scale
+   (n_pages = 2 × events rows of the sf dir): HTML link extraction →
+   dictionary encoding → chunked build → PageRank(20) + CC.
+2. synth — a much larger deterministic pre-bucketed graph
+   (SPARK_GRAFT_BENCH_V / SPARK_GRAFT_BENCH_E, default 1M vertices /
+   30M edges) where per-superstep numpy work dominates scheduler
+   overhead; this is the GTEPS + scaling measurement.
+
+``--scaling`` reruns the synth section at two parallelism levels in
+fresh JVMs (default local[8] vs local[32] — the in-sandbox stand-in for
+N vs 4N executors) and reports throughput scaling efficiency
+(north_rule target ≥ 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _synth_section(spark, cores: int, q: dict, meta: dict) -> None:
+    from geminigraph_spark.operators.algorithms import cc_engine, pagerank_engine
+    from geminigraph_spark.operators.synth import synth_graph
+
+    V = int(os.environ.get("SPARK_GRAFT_BENCH_V", 1_000_000))
+    E = int(os.environ.get("SPARK_GRAFT_BENCH_E", 30_000_000))
+    # best-of-R timing, mirroring the reference's consecutive-runs
+    # protocol (toolkits/pagerank.cpp:144-147 runs compute 6×, warm graph)
+    R = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", 2))
+    spill = tempfile.mkdtemp(prefix="gemini_bench_")
+    try:
+        t0 = time.time()
+        g = synth_graph(spark, V, E, n_chunks=cores, spill_dir=spill, seed=42)
+        q["synth_gen"] = time.time() - t0
+
+        pr_runs = []
+        for _ in range(R):
+            t0 = time.time()
+            _pr, pr_eng = pagerank_engine(g, iters=20)
+            pr_runs.append(time.time() - t0)
+        q["synth_pagerank20"] = min(pr_runs)
+        g.unpersist()
+
+        t0 = time.time()
+        sym = synth_graph(
+            spark, V, E, n_chunks=cores, spill_dir=spill + "_s", seed=42, symmetric=True
+        )
+        q["synth_gen_sym"] = time.time() - t0
+        cc_runs = []
+        for _ in range(R):
+            t0 = time.time()
+            _cc, cc_eng = cc_engine(sym)
+            cc_runs.append(time.time() - t0)
+        q["synth_cc"] = min(cc_runs)
+        cc_trav = int(sum(m.active_edges for m in cc_eng.metrics))
+        sym.unpersist()
+
+        meta["synth"] = {
+            "n_vertices": V,
+            "n_edges": E,
+            "cc_iterations": len(cc_eng.metrics),
+            "cc_edges_traversed": cc_trav,
+            "pagerank_runs": [round(x, 3) for x in pr_runs],
+            "cc_runs": [round(x, 3) for x in cc_runs],
+        }
+        meta["gteps_synth"] = {
+            "pagerank20": round(20 * E / q["synth_pagerank20"] / 1e9, 4),
+            "cc": round(cc_trav / q["synth_cc"] / 1e9, 4),
+        }
+    finally:
+        shutil.rmtree(spill, ignore_errors=True)
+        shutil.rmtree(spill + "_s", ignore_errors=True)
+
+
+def _pipeline_section(spark, cores: int, sf_dir: str, q: dict, meta: dict) -> None:
+    from pyspark.sql import functions as F
+
+    from geminigraph_spark.functions.edges import symmetrize_df
+    from geminigraph_spark.operators.algorithms import cc_engine, pagerank_engine
+    from geminigraph_spark.operators.chunked_graph import ChunkedGraph
+    from geminigraph_spark.plans.encode import encode_edges
+    from geminigraph_spark.sources.extract import extract_links
+    from geminigraph_spark.sources.pages_fixture import gen_pages_df
+
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_pages = 2 * n_events
+
+    t0 = time.time()
+    pages = gen_pages_df(spark, n_pages)
+    links = extract_links(pages).persist()
+    links.count()
+    edges_ids, _vdict = encode_edges(links)
+    edges = edges_ids.select(
+        F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+    ).persist()
+    n_edges = edges.count()
+    q["pipe_extract_encode"] = time.time() - t0
+
+    t0 = time.time()
+    g = ChunkedGraph.build(spark, edges, n_chunks=cores)
+    q["pipe_build"] = time.time() - t0
+    t0 = time.time()
+    sym = ChunkedGraph.build(spark, symmetrize_df(edges), n_chunks=cores)
+    q["pipe_build_sym"] = time.time() - t0
+
+    t0 = time.time()
+    _pr, _pr_eng = pagerank_engine(g, iters=20)
+    q["pipe_pagerank20"] = time.time() - t0
+    t0 = time.time()
+    _cc, cc_eng = cc_engine(sym)
+    q["pipe_cc"] = time.time() - t0
+    cc_trav = int(sum(m.active_edges for m in cc_eng.metrics))
+
+    meta["pipeline"] = {
+        "n_pages": n_pages,
+        "n_vertices": g.n_vertices,
+        "n_edges": n_edges,
+        "cc_iterations": len(cc_eng.metrics),
+        "cc_edges_traversed": cc_trav,
+    }
+    meta["gteps_pipeline"] = {
+        "pagerank20": round(20 * n_edges / q["pipe_pagerank20"] / 1e9, 4),
+        "cc": round(cc_trav / q["pipe_cc"] / 1e9, 4),
+    }
+    g.unpersist()
+    sym.unpersist()
+    links.unpersist()
+    edges.unpersist()
+
+
+def run_bench(sf_dir: str, cores: int, synth_only: bool = False) -> dict:
+    from geminigraph_spark.session import get_spark
+
+    spark = get_spark(
+        "geminigraph-bench",
+        cores=cores,
+        shuffle_partitions=cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    q: dict[str, float] = {}
+    meta: dict = {}
+    if not synth_only:
+        _pipeline_section(spark, cores, sf_dir, q, meta)
+    _synth_section(spark, cores, q, meta)
+
+    exec_keys = [
+        k
+        for k in ("pipe_pagerank20", "pipe_cc", "synth_pagerank20", "synth_cc")
+        if k in q
+    ]
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "pagerank20_plus_cc_exec_sec",
+        "value": round(sum(q[k] for k in exec_keys), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in q.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cores": cores,
+        **meta,
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling(sf_dir: str, n_lo: int = 8, n_hi: int = 32) -> dict:
+    """Same synthetic input, two parallelism levels, fresh JVM each →
+    efficiency = (thr_hi / thr_lo) / (n_hi / n_lo)."""
+    out = {}
+    for n in (n_lo, n_hi):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+        env.setdefault("SPARK_GRAFT_BENCH_V", "1000000")
+        env.setdefault("SPARK_GRAFT_BENCH_E", "600000000")
+        env.setdefault("SPARK_GRAFT_BENCH_REPEATS", "3")
+        p = subprocess.run(
+            [sys.executable, __file__, "--sf-dir", sf_dir, "--synth-only"],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"bench subprocess failed: {p.stderr[-2000:]}")
+        out[n] = json.loads(lines[-1])
+    thr = {n: 1.0 / out[n]["value"] for n in out}
+    eff = (thr[n_hi] / thr[n_lo]) / (n_hi / n_lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "lo": {"cores": n_lo, "exec_sec": out[n_lo]["value"], "gteps": out[n_lo]["gteps_synth"]},
+        "hi": {"cores": n_hi, "exec_sec": out[n_hi]["value"], "gteps": out[n_hi]["gteps_synth"]},
+        "graph": out[n_hi]["synth"],
+    }
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--sf-dir" in args:
+        sf_dir = args[args.index("--sf-dir") + 1]
+    if "--scaling" in args:
+        lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
+        hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "32"))
+        print(json.dumps(run_scaling(sf_dir, lo, hi)))
+    else:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, cores, synth_only="--synth-only" in args)))

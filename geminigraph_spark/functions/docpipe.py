@@ -1,0 +1,344 @@
+"""Training-data pipeline operators over the ``documents`` / ``embeddings``
+tables: text statistics, quality scoring, language id, fingerprinting,
+exact + MinHash-LSH + SimHash dedup, and cosine similarity search.
+
+All hot-path expressions are JVM-side ``pyspark.sql.functions`` (regexp,
+arrays, aggregates — whole-stage-codegen'd; no Python UDFs at all in this
+module). Every operator has a DuckDB oracle twin in sql_oracles_docs.py
+built from the same constants, so semantics are pinned engine-neutrally.
+
+Vocabulary ranking reuses the two-pass distributed ranking from
+plans/encode.py (no global window) — at 10^12-doc scale the token
+vocabulary is still ~10^8 rows, and this path never funnels it through a
+single task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+STOP_EN = "the|and|of|to|in|is"
+STOP_DE = "der|die|das|und|ist|ein"
+STOP_FR = "le|la|les|et|est|une"
+STOP_ES = "el|los|las|y|es|una"
+MINHASH_P = 2_147_483_647
+# fixed (a, b) parameters for the k=8 minhash family
+MINHASH_PARAMS = [
+    (1_103_515_245, 12_345),
+    (69_069, 362_437),
+    (214_013, 2_531_011),
+    (134_775_813, 1),
+    (22_695_477, 1_234_567),
+    (48_271, 2_147_001),
+    (65_539, 404_100_001),
+    (999_983, 777_777),
+]
+FP_MOD = 1_000_003
+SIMHASH_BITS = 16
+SIMHASH_MULT = 2_654_435_761
+NEARDUP_SAMPLE_MOD = 17
+NEARDUP_THRESHOLD_PPM = 250_000
+LSH_JACCARD_MIN_PPM = 500_000
+SHINGLE_N = 3  # minhash runs on token 3-gram shingles, not raw tokens:
+# the synthetic corpus shares a tiny vocabulary, so token-set jaccard is
+# ~0.6 between arbitrary docs while shingle jaccard is ~0 — shingles are
+# what separates true near-duplicates
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _words(col):
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens, word tokens ([a-z0-9]+ runs), distinct words."""
+    d = _docs(spark, sf_dir)
+    w = _words(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("n_ws_tokens"),
+        F.size(w).cast("long").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_words"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / alpha-ratio / stopword-density quality heuristic."""
+    d = _docs(spark, sf_dir)
+    n_chars = F.length(F.col("text")).cast("long")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("long")
+    n_words = F.size(_words(F.col("text"))).cast("long")
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(rf"\b({STOP_EN})\b"), 0)
+    ).cast("long")
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(0.0)
+    stop_term = F.least(
+        F.lit(1.0),
+        F.when(n_words > 0, n_stop.cast("double") * 10.0 / n_words).otherwise(0.0),
+    )
+    len_term = F.least(F.lit(1.0), n_words.cast("double") / 200.0)
+    score = alpha_ratio * 0.4 + stop_term * 0.3 + len_term * 0.3
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+        n_words.alias("n_words"),
+        F.round(score * 1_000_000).cast("long").alias("score_ppm"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language guesser (deterministic tie order en>de>fr>es)."""
+    d = _docs(spark, sf_dir)
+
+    def hits(words: str):
+        return F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(rf"\b({words})\b"), 0)
+        ).cast("long")
+
+    en, de, fr, es = hits(STOP_EN), hits(STOP_DE), hits(STOP_FR), hits(STOP_ES)
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        es.alias("es_hits"),
+        pred.alias("lang_pred"),
+    )
+
+
+def _token_vocab(toks: DataFrame) -> DataFrame:
+    """(tok, vid) — dense rank in lexicographic token order via the
+    scalable two-pass ranking (plans/encode.assign_dense_ids)."""
+    from ..plans.encode import assign_dense_ids
+
+    v = assign_dense_ids(toks.select(F.col("tok").alias("url")).distinct())
+    return v.select(F.col("url").alias("tok"), F.col("id").alias("vid"))
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str, positions: bool = False) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    if positions:
+        return d.select(
+            "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "tok")
+        )
+    return d.select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling hash over vocab-ranked tokens."""
+    toks = _doc_tokens(spark, sf_dir, positions=True)
+    vocab = _token_vocab(toks)
+    term = ((F.col("vid") + 1) * ((F.col("pos") % 31) + 7)) % FP_MOD
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg((F.sum(term) % FP_MOD).cast("long").alias("fingerprint"))
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup groups: representative = min doc_id."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok) where tok is a distinct token 3-gram shingle
+    ("a_b_c"); docs with < 3 tokens produce none."""
+    toks = _doc_tokens(spark, sf_dir, positions=True)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        F.concat(
+            F.col("tok"),
+            F.lit("_"),
+            F.lead("tok", 1).over(w),
+            F.lit("_"),
+            F.lead("tok", 2).over(w),
+        ).alias("tok"),
+    ).where(F.col("tok").isNotNull())
+    return sh.distinct()
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i, sig): k=8 minhash over the distinct shingle set with
+    the fixed (a, b) family on vocab-ranked shingle ids."""
+    toks = _doc_shingles(spark, sf_dir)
+    vocab = _token_vocab(toks)
+    params = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PARAMS)], "i int, a long, b long"
+    )
+    tv = toks.join(vocab, "tok")
+    return (
+        tv.crossJoin(F.broadcast(params))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min((F.col("a") * F.col("vid") + F.col("b")) % MINHASH_P)
+            .cast("long")
+            .alias("sig")
+        )
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (bands of 2 rows) verified with exact Jaccard
+    ≥ LSH_JACCARD_MIN_PPM over distinct token sets."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = (
+        sigs.withColumn("band", (F.col("i") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.sum(
+                F.when(F.col("i") % 2 == 0, F.col("sig") * F.lit(MINHASH_P)).otherwise(
+                    F.col("sig")
+                )
+            ).alias("bval")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bval")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bval")
+    cands = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    toks = _doc_shingles(spark, sf_dir).persist()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jac_ppm",
+            F.round(
+                F.col("inter")
+                * 1_000_000.0
+                / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ).cast("long"),
+        )
+        .where(F.col("jac_ppm") >= LSH_JACCARD_MIN_PPM)
+        .select("doc_a", "doc_b", "jac_ppm")
+    )
+    return jac
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over token-occurrence multiset (vocab-ranked ids
+    rehashed with a Knuth multiplier)."""
+    toks = _doc_tokens(spark, sf_dir)
+    vocab = _token_vocab(toks.distinct())
+    h = (F.col("vid") * F.lit(SIMHASH_MULT)) % F.lit(MINHASH_P)
+    tv = toks.join(vocab, "tok").select("doc_id", h.alias("h"))
+    bits = tv.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b")
+    )
+    contrib = F.when(F.expr("shiftright(h, b) % 2") == 1, 1).otherwise(-1)
+    per_bit = bits.groupBy("doc_id", "b").agg(F.sum(contrib).alias("s"))
+    val = F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(0)
+    return per_bit.groupBy("doc_id").agg(F.sum(val).cast("long").alias("simhash"))
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str, n_queries: int = 20, k: int = 3) -> DataFrame:
+    """Brute-force cosine top-k: queries = vec_id < n_queries vs all
+    others. Rank order quantized to 1e-9 for engine-neutral determinism."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    sims = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qe"), F.col("ce")) * 1e9).cast("long").alias("sim_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round(F.col("sim_q") / 1000.0).cast("long").alias("sim_ppm"),
+        )
+    )
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: cosine ≥ NEARDUP_THRESHOLD_PPM among a
+    deterministic sample (vec_id % 17 == 0), blocked by label (the
+    LSH/IVF-style bucketing that keeps the pair space linear at scale)."""
+    e = _emb(spark, sf_dir).where(F.col("vec_id") % NEARDUP_SAMPLE_MOD == 0)
+    a = e.select(F.col("vec_id").alias("va"), F.col("label").alias("lbl"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("label").alias("lbl"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, "lbl")
+        .where(F.col("va") < F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(_cosine(F.col("ea"), F.col("eb")) * 1_000_000).cast("long").alias("sim_ppm"),
+        )
+        .where(F.col("sim_ppm") >= NEARDUP_THRESHOLD_PPM)
+    )

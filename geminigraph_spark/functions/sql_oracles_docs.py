@@ -1,0 +1,216 @@
+"""DuckDB oracle SQL for the training-data pipeline operators — built
+from the SAME constants as functions/docpipe.py so the two engines pin
+identical semantics (token regex, stopword sets, hash families,
+thresholds). Float comparisons are quantized to exact integers (ppm /
+1e-9 quanta) before they reach the driver's value hash.
+"""
+
+from __future__ import annotations
+
+from .docpipe import (
+    FP_MOD,
+    LSH_JACCARD_MIN_PPM,
+    MINHASH_P,
+    MINHASH_PARAMS,
+    NEARDUP_SAMPLE_MOD,
+    NEARDUP_THRESHOLD_PPM,
+    SIMHASH_BITS,
+    SIMHASH_MULT,
+    STOP_DE,
+    STOP_EN,
+    STOP_ES,
+    STOP_FR,
+    TOKEN_RE,
+)
+
+_WORDS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+_TOKS = f"""toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest({_WORDS}) AS tok,
+         unnest(generate_series(1, len({_WORDS}))) AS p
+  FROM documents)"""
+
+_VOCAB = """vocab AS MATERIALIZED (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) - 1 AS vid
+  FROM (SELECT DISTINCT tok FROM toks))"""
+
+_DTOKS = """dtoks AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM toks)"""
+
+# token 3-gram shingles (NULL-propagating concat matches Spark F.concat)
+_SHINGLES = """sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, s AS tok FROM (
+    SELECT doc_id,
+           tok || '_' || lead(tok, 1) OVER w || '_' || lead(tok, 2) OVER w AS s
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY p)) t
+  WHERE s IS NOT NULL)"""
+
+_SH_VOCAB = """shvocab AS MATERIALIZED (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) - 1 AS vid
+  FROM (SELECT DISTINCT tok FROM sh))"""
+
+
+def token_stats_sql() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_ws_tokens,
+  CAST(len({_WORDS}) AS BIGINT) AS n_words,
+  CAST(len(list_distinct({_WORDS})) AS BIGINT) AS n_distinct_words
+FROM documents
+"""
+
+
+def quality_score_sql() -> str:
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars_m,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+    CAST(len(regexp_extract_all(lower(text), '\\b({STOP_EN})\\b')) AS BIGINT) AS n_stop,
+    CAST(len({_WORDS}) AS BIGINT) AS n_words
+  FROM documents)
+SELECT doc_id, n_chars_m, n_alpha, n_stop, n_words,
+  CAST(ROUND((
+    (CASE WHEN n_chars_m > 0 THEN n_alpha * 1.0 / n_chars_m ELSE 0.0 END) * 0.4
+    + LEAST(1.0, CASE WHEN n_words > 0 THEN n_stop * 10.0 / n_words ELSE 0.0 END) * 0.3
+    + LEAST(1.0, n_words / 200.0) * 0.3) * 1000000) AS BIGINT) AS score_ppm
+FROM base
+"""
+
+
+def lang_id_sql() -> str:
+    def hits(words: str) -> str:
+        return f"CAST(len(regexp_extract_all(lower(text), '\\b({words})\\b')) AS BIGINT)"
+
+    return f"""
+WITH h AS MATERIALIZED (
+  SELECT doc_id,
+    {hits(STOP_EN)} AS en_hits,
+    {hits(STOP_DE)} AS de_hits,
+    {hits(STOP_FR)} AS fr_hits,
+    {hits(STOP_ES)} AS es_hits
+  FROM documents)
+SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+       WHEN fr_hits >= es_hits THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM h
+"""
+
+
+def doc_fingerprint_sql() -> str:
+    return f"""
+WITH {_TOKS},
+{_VOCAB}
+SELECT t.doc_id,
+  CAST(SUM(((v.vid + 1) * (((t.p - 1) % 31) + 7)) % {FP_MOD}) % {FP_MOD} AS BIGINT) AS fingerprint
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+"""
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def _params_values() -> str:
+    return ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS))
+
+
+def _sigs_ctes() -> str:
+    return f"""{_TOKS},
+{_SHINGLES},
+{_SH_VOCAB},
+params(i, a, b) AS (VALUES {_params_values()}),
+sigs AS MATERIALIZED (
+  SELECT t.doc_id, p.i,
+         CAST(MIN((CAST(p.a AS BIGINT) * v.vid + p.b) % {MINHASH_P}) AS BIGINT) AS sig
+  FROM sh t JOIN shvocab v USING (tok) CROSS JOIN params p
+  GROUP BY t.doc_id, p.i)"""
+
+
+def minhash_signatures_sql() -> str:
+    return f"WITH {_sigs_ctes()}\nSELECT doc_id, i, sig FROM sigs"
+
+
+def dedup_minhash_lsh_sql() -> str:
+    return f"""
+WITH {_sigs_ctes()},
+bands AS MATERIALIZED (
+  SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         SUM(CASE WHEN i % 2 = 0 THEN sig * {MINHASH_P} ELSE sig END) AS bval
+  FROM sigs GROUP BY doc_id, band),
+cands AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cands c
+  JOIN sh ta ON ta.doc_id = c.doc_a
+  JOIN sh tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+  CAST(ROUND(i.inter * 1000000.0 / (sa.sz + sb.sz - i.inter)) AS BIGINT) AS jac_ppm
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(ROUND(i.inter * 1000000.0 / (sa.sz + sb.sz - i.inter)) AS BIGINT) >= {LSH_JACCARD_MIN_PPM}
+"""
+
+
+def simhash_sql() -> str:
+    return f"""
+WITH {_TOKS},
+{_VOCAB},
+h AS MATERIALIZED (
+  SELECT t.doc_id, (v.vid * {SIMHASH_MULT}) % {MINHASH_P} AS h
+  FROM toks t JOIN vocab v USING (tok)),
+bits AS MATERIALIZED (
+  SELECT doc_id, b.b, SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b) b
+  GROUP BY doc_id, b.b)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def cosine_topk_sql(n_queries: int = 20, k: int = 3) -> str:
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS MATERIALIZED (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {n_queries}),
+sims AS MATERIALIZED (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    CAST(ROUND(list_dot_product(q.qe, c.emb)
+      / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.emb, c.emb)))
+      * 1000000000) AS BIGINT) AS sim_q
+  FROM q CROSS JOIN e c WHERE c.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_q DESC, neighbor_id ASC) AS rnk
+  FROM sims)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+       CAST(ROUND(sim_q / 1000.0) AS BIGINT) AS sim_ppm
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+def embedding_neardup_sql() -> str:
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id % {NEARDUP_SAMPLE_MOD} = 0)
+SELECT a.vec_id AS va, b.vec_id AS vb,
+  CAST(ROUND(list_dot_product(a.emb, b.emb)
+    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+    * 1000000) AS BIGINT) AS sim_ppm
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE CAST(ROUND(list_dot_product(a.emb, b.emb)
+    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+    * 1000000) AS BIGINT) >= {NEARDUP_THRESHOLD_PPM}
+"""

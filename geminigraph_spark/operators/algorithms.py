@@ -1,0 +1,144 @@
+"""Algorithm kernels on the chunked engine (the bench/fast path).
+
+Same recurrences as functions/graph_algos.py (parity-tested against the
+numpy oracle and each other), executed as one shuffle-free Spark stage per
+superstep with driver-resident numpy state. Frontier bookkeeping follows
+the reference apps: PageRank is full-frontier every iteration (always
+dense — toolkits/pagerank.cpp:47 with graph.hpp:1508), CC/SSSP/BFS shrink
+their frontier to the vertices whose value changed (cc.cpp:39-83,
+sssp.cpp:82-90, bfs.cpp:71-92) and the engine's |E_active|<|E|/20 rule
+flips them to push mode in the tail iterations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+
+from .chunked_graph import ChunkedGraph
+from .engine import VertexEngine
+
+StateHook = Callable[[int, np.ndarray], None]
+
+
+def pagerank_engine(
+    graph: ChunkedGraph,
+    iters: int = 20,
+    d: float = 0.85,
+    on_state: StateHook | None = None,
+    start: np.ndarray | None = None,
+    start_iter: int = 0,
+) -> tuple[np.ndarray, VertexEngine]:
+    """Reference recurrence (pagerank.cpp:24-99): pre-divided state,
+    undivided final iteration, dangling mass dropped."""
+    eng = VertexEngine(graph)
+    outd = graph.out_degree.astype(np.float64)
+    nz = outd > 0
+    if start is not None:
+        curr = start.astype(np.float64).copy()
+    else:
+        curr = np.ones(graph.n_vertices, dtype=np.float64)
+        curr[nz] /= outd[nz]
+    for i in range(start_iter, iters):
+        ids, vals = eng.edge_aggregate(curr, "sum", iteration=i)
+        nxt = np.zeros(graph.n_vertices, dtype=np.float64)
+        nxt[ids] = vals
+        nxt = (1.0 - d) + d * nxt
+        if i != iters - 1:
+            nxt[nz] /= outd[nz]
+        curr = nxt
+        if on_state is not None:
+            on_state(i, curr)
+    return curr, eng
+
+
+def cc_engine(
+    sym_graph: ChunkedGraph, on_state: StateHook | None = None, max_iters: int = 10**6
+) -> tuple[np.ndarray, VertexEngine]:
+    """HashMin to fixpoint on a symmetrized graph (cc.cpp:22-109)."""
+    eng = VertexEngine(sym_graph)
+    n = sym_graph.n_vertices
+    label = np.arange(n, dtype=np.int64)
+    frontier = np.ones(n, dtype=bool)
+    i = 0
+    while frontier.any() and i < max_iters:
+        ids, vals = eng.edge_aggregate(label, "min", frontier=frontier, iteration=i)
+        changed_m = vals < label[ids]
+        frontier = np.zeros(n, dtype=bool)
+        frontier[ids[changed_m]] = True
+        label[ids[changed_m]] = vals[changed_m]
+        if on_state is not None:
+            on_state(i, label)
+        i += 1
+    return label, eng
+
+
+def lp_engine(
+    sym_graph: ChunkedGraph, iters: int = 10, on_state: StateHook | None = None
+) -> tuple[np.ndarray, VertexEngine]:
+    """Mode-combiner label propagation (SURVEY §2.3 A6), synchronized."""
+    eng = VertexEngine(sym_graph)
+    label = np.arange(sym_graph.n_vertices, dtype=np.int64)
+    for i in range(iters):
+        ids, vals = eng.edge_aggregate(label, "mode", iteration=i)
+        nxt = label.copy()
+        nxt[ids] = vals
+        label = nxt
+        if on_state is not None:
+            on_state(i, label)
+    return label, eng
+
+
+def sssp_engine(
+    wgraph: ChunkedGraph, root: int = 0, on_state: StateHook | None = None
+) -> tuple[np.ndarray, VertexEngine]:
+    """Bellman-Ford frontier relaxation (sssp.cpp:24-127), init 1e9."""
+    eng = VertexEngine(wgraph)
+    n = wgraph.n_vertices
+    dist = np.full(n, 1e9, dtype=np.float64)
+    dist[root] = 0.0
+    frontier = np.zeros(n, dtype=bool)
+    frontier[root] = True
+    i = 0
+    while frontier.any():
+        ids, vals = eng.edge_aggregate(
+            dist, "min", msg_offset="w", frontier=frontier, iteration=i
+        )
+        relaxed = vals < dist[ids]
+        frontier = np.zeros(n, dtype=bool)
+        frontier[ids[relaxed]] = True
+        dist[ids[relaxed]] = vals[relaxed]
+        if on_state is not None:
+            on_state(i, dist)
+        i += 1
+    return dist, eng
+
+
+def bfs_engine(
+    graph: ChunkedGraph, root: int = 0, on_state: StateHook | None = None
+) -> tuple[np.ndarray, VertexEngine]:
+    """Frontier BFS; returns depths (unreached = -1). Deterministic
+    (depth, not the reference's CAS-raced parent array, bfs.cpp:53)."""
+    eng = VertexEngine(graph)
+    n = graph.n_vertices
+    big = np.iinfo(np.int64).max // 4
+    depth = np.full(n, big, dtype=np.int64)
+    depth[root] = 0
+    frontier = np.zeros(n, dtype=bool)
+    frontier[root] = True
+    i = 0
+    while frontier.any():
+        ids, vals = eng.edge_aggregate(
+            depth, "min", msg_offset=1, frontier=frontier, iteration=i
+        )
+        newly = vals < depth[ids]
+        frontier = np.zeros(n, dtype=bool)
+        frontier[ids[newly]] = True
+        depth[ids[newly]] = vals[newly]
+        if on_state is not None:
+            on_state(i, depth)
+        i += 1
+    out = depth.copy()
+    out[out >= big] = -1
+    return out, eng

@@ -77,7 +77,7 @@ def encode_edges(
         all_urls = edge_urls.select(F.col("src_url").alias("url")).unionByName(
             edge_urls.select(F.col("dst_url").alias("url"))
         )
-        vertex_dict = assign_dense_ids(all_urls)
+        vertex_dict = assign_dense_ids(all_urls).persist()
     src_d = vertex_dict.select(
         F.col("url").alias("src_url"), F.col("id").alias("src_id")
     )

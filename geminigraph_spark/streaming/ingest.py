@@ -1,0 +1,122 @@
+"""Structured Streaming edge ingest: new page files → incremental edge
+table + windowed crawl-rate metrics.
+
+The reference is batch-only BSP (no streaming anywhere in
+/root/reference — SURVEY §2.4); the north_rule needs resumability, not
+streams. This module is the forward-looking ingest path a production
+crawl would use: ``readStream`` over a landing directory of pages
+parquet, the SAME vectorized extractor as batch (sources/extract —
+one code path for both), ``foreachBatch`` appends to the edge-pairs
+parquet, and a watermarked sliding-window count of links by extraction
+minute tolerates late WARC timestamps.
+
+Checkpointing is Spark's own streaming checkpoint (exactly-once file
+source progress); downstream encode/build then run batch on the
+accumulated edge table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def stream_pages(spark: SparkSession, landing_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(landing_dir)
+    )
+
+
+def start_edge_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    edges_out: str,
+    checkpoint_dir: str,
+):
+    """Append (src_url, dst_url, link_pos) for every newly landed page
+    file. Returns the StreamingQuery."""
+    from ..sources.extract import extract_links
+
+    pages = stream_pages(spark, landing_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        links = extract_links(batch_df)
+        links.write.mode("append").parquet(edges_out)
+
+    return (
+        pages.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def link_rate_query(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    out_table: str = "link_rate",
+):
+    """Watermarked per-minute link counts (late pages up to 2 minutes) —
+    the canonical windowed-aggregation-with-late-data pattern, kept
+    in-memory for inspection/tests."""
+    import pandas as pd
+
+    from ..sources.extract import links_from_pandas
+
+    pages = stream_pages(spark, landing_dir)
+    # one-pass extractor variant that carries warc_ts (a stream-stream
+    # self-join would need join watermarks; this avoids it entirely)
+    schema = T.StructType(
+        [
+            T.StructField("src_url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("dst_url", T.StringType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = links_from_pandas(pdf)
+            ts = pdf.set_index("url")["warc_ts"]
+            out = out.assign(warc_ts=out["src_url"].map(ts).values)
+            yield pd.DataFrame(
+                {
+                    "src_url": out["src_url"],
+                    "warc_ts": out["warc_ts"],
+                    "dst_url": out["dst_url"],
+                }
+            )
+
+    links = pages.select("url", "warc_ts", "html").mapInPandas(run, schema)
+    agg = (
+        links.withWatermark("warc_ts", "2 minutes")
+        .groupBy(F.window("warc_ts", "1 minute"))
+        .agg(F.count(F.lit(1)).alias("n_links"))
+        .select(
+            F.col("window.start").alias("minute"), F.col("n_links")
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,154 @@
+"""Chunked engine vs numpy oracle — including forced push vs pull parity
+(the reference's signature adaptive mode must not change results,
+core/graph.hpp:1502-1508)."""
+
+import numpy as np
+import pytest
+
+from geminigraph_spark.functions import oracle_numpy as O
+from geminigraph_spark.functions.edges import symmetrize_df
+from geminigraph_spark.operators.algorithms import (
+    bfs_engine,
+    cc_engine,
+    lp_engine,
+    pagerank_engine,
+    sssp_engine,
+)
+from geminigraph_spark.operators.chunked_graph import ChunkedGraph
+from geminigraph_spark.operators.engine import VertexEngine
+
+
+def _graph(n=150, m=900, seed=5):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = ((rng.integers(0, n, m) * rng.integers(0, n, m)) % n).astype(np.int64)
+    return src, dst, n
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    src, dst, n = _graph()
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(src, dst)], "src long, dst long"
+    )
+    g = ChunkedGraph.build(spark, df, n_chunks=5, n_vertices=n)
+    sym = ChunkedGraph.build(spark, symmetrize_df(df), n_chunks=5, n_vertices=n)
+    w = (((src * 7 + dst * 13) % 100) / 10.0 + 0.1).astype(np.float64)
+    wdf = spark.createDataFrame(
+        [(int(s), int(d), float(x)) for s, d, x in zip(src, dst, w)],
+        "src long, dst long, w double",
+    )
+    wg = ChunkedGraph.build(spark, wdf, n_chunks=5, weighted=True, n_vertices=n)
+    return src, dst, w, n, g, sym, wg
+
+
+def test_build_invariants(built):
+    src, dst, w, n, g, sym, wg = built
+    assert g.n_vertices == n
+    assert g.n_edges == len(src)
+    assert sym.n_edges == 2 * len(src)
+    assert g.boundaries[0] == 0 and g.boundaries[-1] == n
+    assert (np.diff(g.boundaries) >= 0).all()
+    want_out = np.bincount(src, minlength=n)
+    assert np.array_equal(g.out_degree, want_out)
+    assert np.array_equal(g.in_degree, np.bincount(dst, minlength=n))
+
+
+def test_pagerank_engine_matches_oracle(built):
+    src, dst, w, n, g, sym, wg = built
+    want = O.pagerank_ref(src, dst, n, iters=10)
+    got, eng = pagerank_engine(g, iters=10)
+    assert np.allclose(got, want, atol=1e-12)
+    assert all(m.mode == "dense" for m in eng.metrics)  # full frontier
+    assert all(m.active_edges == g.n_edges for m in eng.metrics)
+
+
+def test_cc_engine_exact_and_uses_sparse_tail(built):
+    src, dst, w, n, g, sym, wg = built
+    want = O.cc_ref(src, dst, n)
+    got, eng = cc_engine(sym)
+    assert np.array_equal(got, want)
+    assert eng.metrics[0].mode == "dense"
+
+
+def test_lp_engine_exact(built):
+    src, dst, w, n, g, sym, wg = built
+    want = O.lp_ref(src, dst, n, iters=6)
+    got, _ = lp_engine(sym, iters=6)
+    assert np.array_equal(got, want)
+
+
+def test_sssp_engine_matches(built):
+    src, dst, w, n, g, sym, wg = built
+    root = int(src[0])
+    want = O.sssp_ref(src, dst, w, n, root=root)
+    got, eng = sssp_engine(wg, root=root)
+    assert np.allclose(got, want, atol=1e-12)
+    # Bellman-Ford from a single root starts sparse (1/20 rule)
+    assert eng.metrics[0].mode == "sparse"
+
+
+def test_bfs_engine_matches(built):
+    src, dst, w, n, g, sym, wg = built
+    root = int(src[0])
+    want = O.bfs_depth_ref(src, dst, n, root=root)
+    got, _ = bfs_engine(g, root=root)
+    assert np.array_equal(got, want)
+
+
+def test_push_pull_parity(built):
+    """Forced sparse vs forced dense give identical aggregates —
+    the mode switch is a physical-plan choice only."""
+    src, dst, w, n, g, sym, wg = built
+    eng = VertexEngine(g)
+    rng = np.random.default_rng(0)
+    msg = rng.random(n)
+    frontier = np.zeros(n, dtype=bool)
+    frontier[rng.integers(0, n, 12)] = True
+    ids_s, vals_s = eng.edge_aggregate(msg, "sum", frontier=frontier, force_mode="sparse")
+    ids_d, vals_d = eng.edge_aggregate(msg, "sum", frontier=frontier, force_mode="dense")
+    os_, od_ = np.argsort(ids_s), np.argsort(ids_d)
+    assert np.array_equal(ids_s[os_], ids_d[od_])
+    assert np.allclose(vals_s[os_], vals_d[od_], atol=1e-12)
+
+
+def test_pagerank_engine_matches_dataframe_path(spark, built):
+    src, dst, w, n, g, sym, wg = built
+    from geminigraph_spark.functions.graph_algos import pagerank
+
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(src, dst)], "src long, dst long"
+    )
+    df_res = pagerank(df, iters=6).toPandas()
+    got, _ = pagerank_engine(g, iters=6)
+    for _, row in df_res.iterrows():
+        assert abs(got[int(row["id"])] - row["rank"]) < 1e-9
+
+
+def test_synth_graph_matches_direct(spark, tmp_path):
+    """Pre-bucketed synthetic graph ≡ the same edges built via shuffle."""
+    import numpy as np
+
+    from geminigraph_spark.functions import oracle_numpy as O
+    from geminigraph_spark.operators.synth import edge_of, pair_of, synth_graph
+
+    V, E = 500, 3000
+    g = synth_graph(spark, V, E, n_chunks=4, spill_dir=str(tmp_path / "d"), seed=7)
+    src, dst = edge_of(np.arange(E), V, 7)
+    assert g.n_edges == E
+    assert np.array_equal(g.out_degree, np.bincount(src, minlength=V))
+    assert np.array_equal(g.in_degree, np.bincount(dst, minlength=V))
+    want = O.pagerank_ref(src, dst, V, iters=5)
+    got, _ = pagerank_engine(g, iters=5)
+    assert np.allclose(got, want, atol=1e-12)
+
+    sym = synth_graph(
+        spark, V, E, n_chunks=4, spill_dir=str(tmp_path / "s"), seed=7, symmetric=True
+    )
+    a, b = pair_of(np.arange(E), V)
+    assert sym.n_edges == 2 * E
+    ss, dd = np.concatenate([a, b]), np.concatenate([b, a])
+    assert np.array_equal(sym.out_degree, np.bincount(ss, minlength=V))
+    want_cc = O.cc_ref(a, b, V)
+    got_cc, _ = cc_engine(sym)
+    assert np.array_equal(got_cc, want_cc)
