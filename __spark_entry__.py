@@ -73,6 +73,38 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_depths(events_edges(spark, sf_dir), root=0)
 
 
+def q_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source Brandes BC from root 0 on the chunked engine (the
+    transpose graph is the second sort order of the edge table)."""
+    import pandas as pd
+
+    from geminigraph_spark.operators.algorithms import bc_engine
+    from geminigraph_spark.operators.chunked_graph import ChunkedGraph
+
+    e = events_edges(spark, sf_dir).persist()
+    n_chunks = min(8, spark.sparkContext.defaultParallelism)
+    g = ChunkedGraph.build(spark, e, n_chunks=n_chunks)
+    gt = ChunkedGraph.build(
+        spark,
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        n_chunks=n_chunks,
+        n_vertices=g.n_vertices,
+    )
+    vals, _ = bc_engine(g, gt, root=0)
+    out = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": range(len(vals)),
+                "bc_ppm": [int(round(v * 1_000_000)) for v in vals],
+            }
+        )
+    )
+    g.unpersist()
+    gt.unpersist()
+    e.unpersist()
+    return out.select(F.col("id").cast("long"), F.col("bc_ppm").cast("long"))
+
+
 def _ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geminigraph_spark.functions.similarity import ann_lsh_topk
 
@@ -95,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_tc,
         "sssp": q_sssp,
         "bfs": q_bfs,
+        "bc": q_bc,
         # training-data pipeline (documents / embeddings)
         "token_stats": D.token_stats,
         "quality_score": D.quality_score,
@@ -122,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": S.triangle_count_sql(),
         "sssp": S.sssp_sql(iters=25, root=0),
         "bfs": S.bfs_sql(iters=25, root=0),
+        "bc": S.bc_sql(levels=10, root=0),
         "token_stats": SD.token_stats_sql(),
         "quality_score": SD.quality_score_sql(),
         "lang_id": SD.lang_id_sql(),

@@ -135,6 +135,37 @@ def sssp_ref(
     return dist
 
 
+def bc_ref(
+    src: np.ndarray, dst: np.ndarray, n: int, root: int = 0
+) -> np.ndarray:
+    """Single-source Brandes dependencies, reference formulation
+    (toolkits/bc.cpp:24-198 semantics per SURVEY §2.3 A5): forward BFS
+    accumulating path counts; backward level sweep with
+    dep[v] = inv[v] + Σ_{w ∈ succ, depth[w]=depth[v]+1} dep[w];
+    final value (dep−inv)/inv for reached vertices, 0 elsewhere."""
+    depth = bfs_depth_ref(src, dst, n, root)
+    sigma = np.zeros(n, dtype=np.float64)
+    sigma[root] = 1.0
+    maxd = int(depth.max())
+    for lv in range(maxd):
+        on = (depth[src] == lv) & (depth[dst] == lv + 1)
+        np.add.at(sigma, dst[on], sigma[src[on]])
+    inv = np.zeros(n, dtype=np.float64)
+    reached = depth >= 0
+    inv[reached] = 1.0 / sigma[reached]
+    dep = np.zeros(n, dtype=np.float64)
+    dep[depth == maxd] = inv[depth == maxd]
+    for lv in range(maxd - 1, -1, -1):
+        acc = np.zeros(n, dtype=np.float64)
+        on = (depth[src] == lv) & (depth[dst] == lv + 1)
+        np.add.at(acc, src[on], dep[dst[on]])
+        sel = depth == lv
+        dep[sel] = inv[sel] + acc[sel]
+    out = np.zeros(n, dtype=np.float64)
+    out[reached] = (dep[reached] - inv[reached]) / inv[reached]
+    return out
+
+
 def bfs_depth_ref(
     src: np.ndarray, dst: np.ndarray, n: int, root: int = 0
 ) -> np.ndarray:

@@ -158,6 +158,77 @@ d{k} AS MATERIALIZED (SELECT c.v, LEAST(c.dist, COALESCE(m.md, c.dist)) AS dist
     return "".join(parts)
 
 
+def bc_sql(levels: int = 10, root: int = 0) -> str:
+    """Single-source Brandes (bc.cpp semantics): BFS depths (unrolled),
+    per-level path-count accumulation over the edge MULTISET (parallel
+    edges create parallel paths, matching the reference loader's
+    keep-every-tuple behavior), backward dependency sweep, final
+    (dep−inv)/inv in ppm. Unroll depth covers the graph diameter."""
+    big = 1 << 62
+    parts = [
+        _PRELUDE
+        + f"""
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+b0 AS MATERIALIZED (SELECT v, CAST(CASE WHEN v = {root} THEN 0 ELSE {big} END AS BIGINT) AS d FROM verts)"""
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f""",
+b{k} AS MATERIALIZED (SELECT c.v, LEAST(c.d, COALESCE(m.md, c.d)) AS d
+       FROM b{k-1} c
+       LEFT JOIN (SELECT e.dst AS v, MIN(p.d) + 1 AS md
+                  FROM de e JOIN b{k-1} p ON e.src = p.v AND p.d < {big}
+                  GROUP BY e.dst) m ON c.v = m.v)"""
+        )
+    parts.append(
+        f""",
+depth AS MATERIALIZED (SELECT v, CASE WHEN d >= {big} THEN -1 ELSE d END AS d FROM b{levels}),
+eD AS MATERIALIZED (
+  SELECT e.src, e.dst, da.d AS ds, db.d AS dd
+  FROM edges e JOIN depth da ON e.src = da.v JOIN depth db ON e.dst = db.v),
+sg0 AS MATERIALIZED (SELECT CAST({root} AS BIGINT) AS v, CAST(1 AS DOUBLE) AS s)"""
+    )
+    for k in range(1, levels + 1):
+        parts.append(
+            f""",
+sg{k} AS MATERIALIZED (
+  SELECT v, s FROM sg{k-1}
+  UNION ALL
+  SELECT e.dst AS v, SUM(p.s) AS s
+  FROM eD e JOIN sg{k-1} p ON e.src = p.v AND e.ds = {k-1}
+  WHERE e.dd = {k} GROUP BY e.dst)"""
+        )
+    parts.append(
+        f""",
+sigma AS MATERIALIZED (SELECT v, MAX(s) AS s FROM sg{levels} GROUP BY v),
+inv AS MATERIALIZED (
+  SELECT d.v, d.d, CASE WHEN d.d >= 0 THEN 1.0/sg.s ELSE 0.0 END AS inv
+  FROM depth d LEFT JOIN sigma sg ON d.v = sg.v),
+dp{levels} AS MATERIALIZED (SELECT v, d, inv AS dep FROM inv WHERE d = {levels})"""
+    )
+    for k in range(levels - 1, -1, -1):
+        parts.append(
+            f""",
+dp{k} AS MATERIALIZED (
+  SELECT v, d, dep FROM dp{k+1}
+  UNION ALL
+  SELECT i.v, i.d, i.inv + COALESCE(m.acc, 0) AS dep
+  FROM inv i
+  LEFT JOIN (SELECT e.src AS v, SUM(p.dep) AS acc
+             FROM eD e JOIN dp{k+1} p ON e.dst = p.v AND p.d = {k+1}
+             WHERE e.ds = {k} GROUP BY e.src) m ON i.v = m.v
+  WHERE i.d = {k})"""
+        )
+    parts.append(
+        f"""
+SELECT i.v AS id,
+  CAST(ROUND(CASE WHEN i.d >= 0 THEN (COALESCE(p.dep, i.inv) - i.inv)/i.inv ELSE 0.0 END
+       * 1000000) AS BIGINT) AS bc_ppm
+FROM inv i LEFT JOIN dp0 p ON i.v = p.v AND i.d = p.d"""
+    )
+    return "".join(parts)
+
+
 def bfs_sql(iters: int = 25, root: int = 0) -> str:
     big = 1 << 62
     parts = [

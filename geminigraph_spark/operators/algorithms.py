@@ -115,6 +115,63 @@ def sssp_engine(
     return dist, eng
 
 
+def bc_engine(
+    graph: ChunkedGraph,
+    graph_t: ChunkedGraph,
+    root: int = 0,
+) -> tuple[np.ndarray, VertexEngine]:
+    """Single-source Brandes betweenness (toolkits/bc.cpp semantics,
+    SURVEY §2.3 A5): forward BFS accumulating path counts on the directed
+    graph, then a backward level sweep on the transpose (the reference's
+    O(1) ``transpose()``, graph.hpp:759-768, is here the second
+    sort-order of the edge table: ``graph_t``). Deterministic.
+
+    Returns dependencies: (dep−inv)/inv per reached vertex, 0 elsewhere.
+    """
+    eng = VertexEngine(graph)
+    eng_t = VertexEngine(graph_t)
+    n = graph.n_vertices
+    depth = np.full(n, -1, dtype=np.int64)
+    sigma = np.zeros(n, dtype=np.float64)
+    depth[root] = 0
+    sigma[root] = 1.0
+    frontier = np.zeros(n, dtype=bool)
+    frontier[root] = True
+    levels = [np.array([root], dtype=np.int64)]
+    lv = 0
+    while frontier.any():
+        ids, vals = eng.edge_aggregate(sigma, "sum", frontier=frontier, iteration=lv)
+        new_m = depth[ids] < 0
+        newly = ids[new_m]
+        depth[newly] = lv + 1
+        sigma[newly] = vals[new_m]
+        frontier = np.zeros(n, dtype=bool)
+        frontier[newly] = True
+        if len(newly):
+            levels.append(newly)
+        lv += 1
+
+    reached = depth >= 0
+    inv = np.zeros(n, dtype=np.float64)
+    inv[reached] = 1.0 / sigma[reached]
+    dep = np.zeros(n, dtype=np.float64)
+    maxd = len(levels) - 1
+    dep[levels[maxd]] = inv[levels[maxd]]
+    for back in range(maxd - 1, -1, -1):
+        frontier = np.zeros(n, dtype=bool)
+        frontier[levels[back + 1]] = True
+        ids, vals = eng_t.edge_aggregate(
+            dep, "sum", frontier=frontier, iteration=maxd - back
+        )
+        sel_m = depth[ids] == back
+        sel = ids[sel_m]
+        dep[levels[back]] = inv[levels[back]]
+        dep[sel] += vals[sel_m]
+    out = np.zeros(n, dtype=np.float64)
+    out[reached] = (dep[reached] - inv[reached]) / inv[reached]
+    return out, eng
+
+
 def bfs_engine(
     graph: ChunkedGraph, root: int = 0, on_state: StateHook | None = None
 ) -> tuple[np.ndarray, VertexEngine]:

@@ -7,18 +7,21 @@ Re-expresses the reference's two dataflow primitives (core/graph.hpp:
 - ``process_vertices`` — state is driver-resident numpy, so the filtered
   map + sum-reduce is a vectorized driver computation (the reference's
   work-stealing + MPI_Allreduce collapse into numpy reductions).
-- ``edge_aggregate`` — one Spark stage over the cached chunk DataFrame:
-  broadcast the per-vertex message vector (and frontier bitmap), each
-  chunk task aggregates into its local dst range with numpy ufuncs, and
-  the driver assembles the collected per-chunk results. Because chunks
-  are dst-sharded, per-dst aggregation is final within a task — there is
-  no shuffle in the iteration loop at all.
+- ``edge_aggregate`` — one Spark stage over the cached chunk-metadata
+  DataFrame: the per-vertex message vector reaches workers either as a
+  page-cache-shared state file (local master: zero pickling, the
+  analogue of Gemini's per-node state replicas) or a torrent broadcast
+  (cluster master); each chunk task aggregates into its local dst range
+  with numpy ufuncs and returns ONE row per chunk with packed binary
+  (ids, vals) arrays — Arrow ships a handful of big cells instead of
+  millions of rows. Because chunks are dst-sharded, per-dst aggregation
+  is final within a task: there is no shuffle in the iteration loop.
 
 Mode rule is the reference's, verbatim: sparse (push) iff
 ``active_out_edges < |E| / 20`` (core/graph.hpp:1502-1508). Sparse mode
 skips inactive edges via searchsorted spans over the src-sorted chunk
-arrays (the analogue of probing the out-CSR bitmap, graph.hpp:1599-1657);
-dense mode streams every edge with a fancy-indexed gather (the CSC scan of
+arrays (the out-CSR bitmap probe of graph.hpp:1599-1657); dense mode
+streams every edge with a fancy-indexed gather (the CSC scan of
 graph.hpp:1748-1788).
 
 Combiners are the reference's closed set — sum (write_add), min
@@ -28,6 +31,9 @@ Combiners are the reference's closed set — sum (write_add), min
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 import time
 from dataclasses import dataclass
 
@@ -37,6 +43,8 @@ import pandas as pd
 from .chunked_graph import ChunkedGraph
 
 SPARSE_DENOM = 20  # push iff active_edges < n_edges / 20 (graph.hpp:1508)
+
+_OUT_SCHEMA = "begin long, ids binary, vals binary"
 
 
 def _multi_range_indices(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
@@ -49,66 +57,74 @@ def _multi_range_indices(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
     return out + np.arange(total, dtype=np.int64)
 
 
-def _mode_per_dst(dl: np.ndarray, labs: np.ndarray, size: int, base: int):
+def _mode_per_dst(dl: np.ndarray, labs: np.ndarray):
     """Most frequent label per local dst, ties → smallest label.
     Returns (local_ids, labels)."""
     if len(dl) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     order = np.lexsort((labs, dl))
-    d_s, l_s = dl[order], labs[order]
-    # run-length over (dst, label)
+    d_s, l_s = np.asarray(dl)[order], np.asarray(labs)[order]
     new_pair = np.ones(len(d_s), dtype=bool)
     new_pair[1:] = (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])
     pd_idx = np.flatnonzero(new_pair)
     cnt = np.diff(np.concatenate([pd_idx, [len(d_s)]]))
     gd, gl = d_s[pd_idx], l_s[pd_idx]
-    # per dst pick max count, tie smallest label: lexsort by (dst, -cnt, label)
     o2 = np.lexsort((gl, -cnt, gd))
     gd2, gl2 = gd[o2], gl[o2]
     first = np.ones(len(gd2), dtype=bool)
     first[1:] = gd2[1:] != gd2[:-1]
-    return gd2[first], gl2[first]
+    return gd2[first].astype(np.int64), gl2[first].astype(np.int64)
 
 
-def _make_task(combiner: str, out_dtype: str, msg_offset, bc, weighted: bool):
-    """Build the per-chunk mapInPandas function. ``bc`` broadcasts
-    (msg_vec, frontier_mask_or_None, sparse_bool, frontier_ids_or_None).
-    Chunk arrays are mmap-loaded from spill files (page-cache resident
-    across supersteps); the metadata row shipped per task is ~100 bytes."""
+def _load_state(transport: dict):
+    """Worker-side: resolve (msg_vec, frontier, sparse, frontier_ids)."""
+    if transport["kind"] == "bc":
+        return transport["bc"].value
+    msg = np.load(transport["msg"], mmap_mode="r")
+    fro = (
+        np.load(transport["frontier"], mmap_mode="r")
+        if transport["frontier"]
+        else None
+    )
+    fids = (
+        np.load(transport["fids"], mmap_mode="r") if transport["fids"] else None
+    )
+    return msg, fro, transport["sparse"], fids
+
+
+def _make_task(combiner: str, val_dtype, msg_offset, transport: dict):
+    """Per-chunk mapInPandas body. Output: one row per chunk with packed
+    binary (ids, vals); ids=None ⇒ contiguous range starting at begin."""
     from .chunked_graph import load_chunk_arrays
 
     def task(batches):
-        msg_vec, frontier, sparse, frontier_ids = bc.value
+        msg_vec, frontier, sparse, frontier_ids = _load_state(transport)
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 begin, end = int(row.begin), int(row.end)
-                a = load_chunk_arrays(row.path, weighted)
+                a = load_chunk_arrays(row.path, False)
                 srcs, dsts, w = a["srcs"], a["dsts"], a["weights"]
                 if sparse and frontier_ids is not None:
-                    # push: only spans of active srcs (srcs are sorted) —
-                    # the out-CSR bitmap probe of graph.hpp:1599-1657
                     s = np.searchsorted(srcs, frontier_ids, side="left")
                     e = np.searchsorted(srcs, frontier_ids, side="right")
                     sel = _multi_range_indices(s, e)
-                    srcs, dsts = srcs[sel], dsts[sel]
+                    srcs, dsts = np.asarray(srcs)[sel], np.asarray(dsts)[sel]
                     if w is not None:
-                        w = w[sel]
+                        w = np.asarray(w)[sel]
                 elif frontier is not None:
-                    # dense with selective bitmap: mask inactive srcs
-                    m = frontier[srcs]
+                    m = np.asarray(frontier)[np.asarray(srcs)]
                     srcs, dsts = np.asarray(srcs)[m], np.asarray(dsts)[m]
                     if w is not None:
                         w = np.asarray(w)[m]
                 if len(srcs) == 0:
                     continue
                 d = np.asarray(dsts)
-                dl = d - d.dtype.type(begin)  # stay int32 when ids are int32
+                dl = d - d.dtype.type(begin)
                 size = end - begin
+                ids_b = None
                 if combiner == "mode":
-                    ids_l, vals = _mode_per_dst(
-                        dl, msg_vec[np.asarray(srcs)], size, begin
-                    )
-                    ids = ids_l + begin
+                    ids_l, vals = _mode_per_dst(dl, msg_vec[np.asarray(srcs)])
+                    ids_b = (ids_l + begin).tobytes()
                 elif combiner == "sum":
                     msgs = msg_vec[np.asarray(srcs)]
                     if msg_offset == "w":
@@ -117,33 +133,34 @@ def _make_task(combiner: str, out_dtype: str, msg_offset, bc, weighted: bool):
                         msgs = msgs + msg_offset
                     acc = np.bincount(dl, weights=msgs, minlength=size)
                     if frontier is None and frontier_ids is None:
-                        # dense full-frontier: emit the whole local range
-                        ids = np.arange(begin, end, dtype=np.int64)
-                        vals = acc
+                        vals = acc  # dense full-frontier: whole range
                     else:
                         cnt = np.bincount(dl, minlength=size)
                         ids_l = np.flatnonzero(cnt)
-                        ids, vals = ids_l + begin, acc[ids_l]
+                        vals = acc[ids_l]
+                        ids_b = (ids_l + begin).tobytes()
                 elif combiner == "min":
                     msgs = msg_vec[np.asarray(srcs)]
                     if msg_offset == "w":
                         msgs = msgs + w
                     elif msg_offset:
                         msgs = msgs + msg_offset
-                    ident = np.inf if out_dtype == "double" else np.iinfo(np.int64).max
-                    acc = np.full(
-                        size,
-                        ident,
-                        dtype=np.float64 if out_dtype == "double" else np.int64,
-                    )
+                    ident = np.inf if val_dtype == np.float64 else np.iinfo(np.int64).max
+                    acc = np.full(size, ident, dtype=val_dtype)
                     np.minimum.at(acc, dl, msgs)
                     cnt = np.bincount(dl, minlength=size)
                     ids_l = np.flatnonzero(cnt)
-                    ids, vals = ids_l + begin, acc[ids_l]
+                    vals = acc[ids_l]
+                    ids_b = (ids_l + begin).tobytes()
                 else:  # pragma: no cover
                     raise ValueError(combiner)
-                if len(ids):
-                    yield pd.DataFrame({"id": ids, "val": vals})
+                yield pd.DataFrame(
+                    {
+                        "begin": [begin],
+                        "ids": [ids_b],
+                        "vals": [np.ascontiguousarray(vals, dtype=val_dtype).tobytes()],
+                    }
+                )
 
     return task
 
@@ -160,9 +177,18 @@ class IterationMetrics:
 class VertexEngine:
     """Driver-side engine over a ChunkedGraph with numpy vertex state."""
 
-    def __init__(self, graph: ChunkedGraph):
+    def __init__(self, graph: ChunkedGraph, transport: str | None = None):
         self.g = graph
         self.metrics: list[IterationMetrics] = []
+        if transport is None:
+            master = graph.spark.sparkContext.master
+            transport = "file" if master.startswith("local") else "bc"
+        self.transport = transport
+        self._state_dir = tempfile.mkdtemp(prefix="gemini_state_")
+        self._seq = 0
+
+    def close(self) -> None:
+        shutil.rmtree(self._state_dir, ignore_errors=True)
 
     # ---- V1: filtered map + sum reduce (graph.hpp:1406-1468) -------------
     def process_vertices(self, fn, active: np.ndarray | None = None):
@@ -177,6 +203,30 @@ class VertexEngine:
         if active is None:
             return self.g.n_edges
         return int(self.g.out_degree[active].sum())
+
+    def _ship_state(self, msg_vec, frontier, sparse, frontier_ids):
+        if self.transport == "bc":
+            bc = self.g.spark.sparkContext.broadcast(
+                (msg_vec, frontier, sparse, frontier_ids)
+            )
+            return {"kind": "bc", "bc": bc}, bc
+        self._seq += 1
+        base = os.path.join(self._state_dir, f"s{self._seq}")
+        np.save(base + ".msg.npy", msg_vec)
+        t = {
+            "kind": "file",
+            "msg": base + ".msg.npy",
+            "frontier": "",
+            "fids": "",
+            "sparse": sparse,
+        }
+        if frontier is not None:
+            np.save(base + ".fro.npy", frontier)
+            t["frontier"] = base + ".fro.npy"
+        if frontier_ids is not None:
+            np.save(base + ".fid.npy", frontier_ids)
+            t["fids"] = base + ".fid.npy"
+        return t, None
 
     # ---- V2: edge-centric aggregation (graph.hpp:1492-1866) --------------
     def edge_aggregate(
@@ -200,20 +250,36 @@ class VertexEngine:
         sparse = active_edges < g.n_edges / SPARSE_DENOM
         if force_mode is not None:
             sparse = force_mode == "sparse"
+        if frontier is not None and not sparse and frontier.all():
+            # full frontier: dense scans every edge anyway — skip the mask
+            frontier = None
         frontier_ids = (
             np.flatnonzero(frontier) if (sparse and frontier is not None) else None
         )
-        out_dtype = "double" if msg_vec.dtype.kind == "f" else "long"
+        val_dtype = np.float64 if msg_vec.dtype.kind == "f" else np.int64
 
-        sc = g.spark.sparkContext
-        bc = sc.broadcast((msg_vec, frontier, sparse, frontier_ids))
+        transport, bc = self._ship_state(msg_vec, frontier, sparse, frontier_ids)
         try:
-            task = _make_task(combiner, out_dtype, msg_offset, bc, g.weighted)
-            out = g.chunks.mapInPandas(
-                task, f"id long, val {out_dtype}"
-            ).toPandas()
+            task = _make_task(combiner, val_dtype, msg_offset, transport)
+            rows = g.chunks.mapInPandas(task, _OUT_SCHEMA).collect()
         finally:
-            bc.destroy()
+            if bc is not None:
+                bc.destroy()
+        ids_parts, val_parts = [], []
+        for row in rows:
+            vals = np.frombuffer(row.vals, dtype=val_dtype)
+            if row.ids is None:
+                ids = np.arange(row.begin, row.begin + len(vals), dtype=np.int64)
+            else:
+                ids = np.frombuffer(row.ids, dtype=np.int64)
+            ids_parts.append(ids)
+            val_parts.append(vals)
+        out_ids = (
+            np.concatenate(ids_parts) if ids_parts else np.empty(0, dtype=np.int64)
+        )
+        out_vals = (
+            np.concatenate(val_parts) if val_parts else np.empty(0, dtype=val_dtype)
+        )
         self.metrics.append(
             IterationMetrics(
                 iteration=iteration,
@@ -223,4 +289,4 @@ class VertexEngine:
                 wall_s=time.time() - t0,
             )
         )
-        return out["id"].values, out["val"].values
+        return out_ids, out_vals

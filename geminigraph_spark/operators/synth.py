@@ -10,12 +10,16 @@ no bucketing shuffle; generation is O(E) total work across all chunks:
               src_g = ⌊V·u²⌋, u = mix(g) (hub-skewed like a web graph)
               {g : dst_g ∈ [b,e)} = arithmetic progressions r + tV.
 
-  symmetric:  undirected pair (a_g, b_g), a_g = g mod V,
-              b_g = (gK + 7) mod V with gcd(K, V) = 1; the edge multiset
-              is {(a,b)} ∪ {(b,a)} — the reference's non-deduped
-              symmetrization (core/graph.hpp:572-587). Both
-              {g : a_g ∈ chunk} and {g : b_g ∈ chunk} are arithmetic
-              progressions (the latter via K⁻¹ mod V).
+  symmetric:  the SAME directed edges plus every edge reversed — the
+              reference's non-deduped symmetrization
+              (core/graph.hpp:572-587). The forward half (dst = g mod V
+              ∈ chunk) is enumerated arithmetically; the reversed half
+              (dst = src_g ∈ chunk) is found by a vectorized
+              one-mix-per-id filter scan — O(E) extra work per chunk but
+              a single ufunc pass, and it keeps both endpoint
+              distributions genuinely pseudorandom (a linear map of
+              g mod V would collapse each vertex's neighborhood to one
+              node and blow the graph diameter up to O(V)).
 """
 
 from __future__ import annotations
@@ -63,11 +67,10 @@ def edge_of(g: np.ndarray, n_vertices: int, seed: int):
     return _skew_src(g, n_vertices, seed), g % n_vertices
 
 
-def pair_of(g: np.ndarray, n_vertices: int):
-    """Symmetric graph's undirected pair (a, b) for edge ids g."""
-    g = np.asarray(g, dtype=np.int64)
-    k = _pair_mult(n_vertices)
-    return g % n_vertices, (g * k + 7) % n_vertices
+def pair_of(g: np.ndarray, n_vertices: int, seed: int = 42):
+    """Symmetric graph's undirected pair = the directed edge (src, dst);
+    the symmetric multigraph is {(src,dst)} ∪ {(dst,src)}."""
+    return edge_of(g, n_vertices, seed)
 
 
 def _ids_with_residue(lo: int, hi: int, residues: np.ndarray, modulus: int, limit: int):
@@ -91,8 +94,6 @@ def synth_graph(
     os.makedirs(spill_dir, exist_ok=True)
     V, E, C = n_vertices, n_edges, n_chunks
     bounds = np.linspace(0, V, C + 1).astype(np.int64)
-    k = _pair_mult(V)
-    kinv = pow(k, -1, V)
 
     meta = pd.DataFrame({"chunk_id": np.arange(C, dtype=np.int32)})
     mdf = spark.createDataFrame(meta).repartition(C, "chunk_id")
@@ -103,24 +104,10 @@ def synth_graph(
             for cid in pdf["chunk_id"].tolist():
                 begin, end = int(bounds[cid]), int(bounds[cid + 1])
                 r = np.arange(begin, end, dtype=np.int64)
-                if not symmetric:
-                    g = _ids_with_residue(begin, end, r, V, E)
-                    dsts = g % V
-                    srcs = _skew_src(g, V, seed)
-                else:
-                    # orientation (b→a): dst = a_g ∈ chunk
-                    gA = _ids_with_residue(begin, end, r, V, E)
-                    aA = gA % V
-                    bA = (gA * k + 7) % V
-                    # orientation (a→b): dst = b_g ∈ chunk
-                    resB = (kinv * (r - 7)) % V
-                    gB = _ids_with_residue(begin, end, resB, V, E)
-                    aB = gB % V
-                    bB = (gB * k + 7) % V
-                    srcs = np.concatenate([bA, aB])
-                    dsts = np.concatenate([aA, bB])
-                srcs = srcs.astype(idt)
-                dsts = dsts.astype(idt)
+                # forward edges whose dst = g mod V falls in this chunk
+                g = _ids_with_residue(begin, end, r, V, E)
+                dsts = (g % V).astype(idt)
+                srcs = _skew_src(g, V, seed).astype(idt)
                 order = np.argsort(srcs, kind="stable")
                 srcs, dsts = srcs[order], dsts[order]
                 prefix = os.path.join(spill_dir, f"chunk_{cid:05d}")
@@ -132,6 +119,52 @@ def synth_graph(
                 yield pd.DataFrame({"chunk_id": [cid], "n": [len(srcs)]})
 
     mdf.mapInPandas(gen, "chunk_id int, n long").collect()
+
+    if symmetric:
+        # pass 2: append the reversed orientation. Chunk files are
+        # src-sorted, so the reversed edges owned by chunk c (those whose
+        # forward src ∈ [begin,end)) are ONE contiguous slice of every
+        # forward file — binary search + copy, no rescan of the id space.
+        def sym_pass(batches):
+            idt = np.int32 if V < 2**31 else np.int64
+            for pdf in batches:
+                for cid in pdf["chunk_id"].tolist():
+                    begin, end = int(bounds[cid]), int(bounds[cid + 1])
+                    prefix = os.path.join(spill_dir, f"chunk_{cid:05d}")
+                    fs = np.load(f"{prefix}.srcs.npy", mmap_mode="r")
+                    fd = np.load(f"{prefix}.dsts.npy", mmap_mode="r")
+                    parts_s = [np.asarray(fs)]
+                    parts_d = [np.asarray(fd)]
+                    for oc in range(C):
+                        op = os.path.join(spill_dir, f"chunk_{oc:05d}")
+                        os_ = np.load(f"{op}.srcs.npy", mmap_mode="r")
+                        lo = np.searchsorted(os_, begin, side="left")
+                        hi = np.searchsorted(os_, end, side="left")
+                        if hi > lo:
+                            od_ = np.load(f"{op}.dsts.npy", mmap_mode="r")
+                            parts_s.append(np.asarray(od_[lo:hi]))  # reversed src
+                            parts_d.append(np.asarray(os_[lo:hi]))  # reversed dst
+                    srcs = np.concatenate(parts_s).astype(idt)
+                    dsts = np.concatenate(parts_d).astype(idt)
+                    order = np.argsort(srcs, kind="stable")
+                    srcs, dsts = srcs[order], dsts[order]
+                    save_chunk_arrays(
+                        prefix + "sym", {"srcs": srcs, "dsts": dsts}
+                    )
+                    od = np.bincount(srcs, minlength=V).astype(np.int64)
+                    np.save(f"{prefix}sym.outdeg.npy", od)
+                    ind = np.bincount(
+                        dsts - dsts.dtype.type(begin), minlength=end - begin
+                    ).astype(np.int64)
+                    np.save(f"{prefix}sym.indeg.npy", ind)
+                    yield pd.DataFrame({"chunk_id": [cid], "n": [len(srcs)]})
+
+        mdf.mapInPandas(sym_pass, "chunk_id int, n long").collect()
+        # promote the sym files to the canonical names
+        for cid in range(C):
+            prefix = os.path.join(spill_dir, f"chunk_{cid:05d}")
+            for suffix in ("srcs.npy", "dsts.npy", "outdeg.npy", "indeg.npy"):
+                os.replace(f"{prefix}sym.{suffix}", f"{prefix}.{suffix}")
 
     out_degree = np.zeros(V, dtype=np.int64)
     in_degree = np.zeros(V, dtype=np.int64)

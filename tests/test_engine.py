@@ -145,10 +145,31 @@ def test_synth_graph_matches_direct(spark, tmp_path):
     sym = synth_graph(
         spark, V, E, n_chunks=4, spill_dir=str(tmp_path / "s"), seed=7, symmetric=True
     )
-    a, b = pair_of(np.arange(E), V)
+    a, b = pair_of(np.arange(E), V, 7)
     assert sym.n_edges == 2 * E
-    ss, dd = np.concatenate([a, b]), np.concatenate([b, a])
+    ss = np.concatenate([a, b])
     assert np.array_equal(sym.out_degree, np.bincount(ss, minlength=V))
     want_cc = O.cc_ref(a, b, V)
     got_cc, _ = cc_engine(sym)
     assert np.array_equal(got_cc, want_cc)
+
+
+def test_bc_engine_matches_oracle(spark, built, tmp_path):
+    from pyspark.sql import functions as SF
+
+    from geminigraph_spark.operators.algorithms import bc_engine
+
+    src, dst, w, n, g, sym, wg = built
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(src, dst)], "src long, dst long"
+    )
+    gt = ChunkedGraph.build(
+        spark,
+        df.select(SF.col("dst").alias("src"), SF.col("src").alias("dst")),
+        n_chunks=5,
+        n_vertices=n,
+    )
+    root = int(src[0])
+    want = O.bc_ref(src, dst, n, root=root)
+    got, _ = bc_engine(g, gt, root=root)
+    assert np.allclose(got, want, atol=1e-9)
