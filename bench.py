@@ -38,13 +38,17 @@ def _synth_section(spark, cores: int, q: dict, meta: dict) -> None:
 
     V = int(os.environ.get("SPARK_GRAFT_BENCH_V", 1_000_000))
     E = int(os.environ.get("SPARK_GRAFT_BENCH_E", 30_000_000))
+    # chunk count is fixed (not cores) so scaling runs compare the SAME
+    # physical layout at different parallelism — only the executor count
+    # varies, as on a real cluster
+    n_chunks = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNKS", 32))
     # best-of-R timing, mirroring the reference's consecutive-runs
     # protocol (toolkits/pagerank.cpp:144-147 runs compute 6×, warm graph)
     R = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", 2))
     spill = tempfile.mkdtemp(prefix="gemini_bench_")
     try:
         t0 = time.time()
-        g = synth_graph(spark, V, E, n_chunks=cores, spill_dir=spill, seed=42)
+        g = synth_graph(spark, V, E, n_chunks=n_chunks, spill_dir=spill, seed=42)
         q["synth_gen"] = time.time() - t0
 
         pr_runs = []
@@ -57,7 +61,7 @@ def _synth_section(spark, cores: int, q: dict, meta: dict) -> None:
 
         t0 = time.time()
         sym = synth_graph(
-            spark, V, E, n_chunks=cores, spill_dir=spill + "_s", seed=42, symmetric=True
+            spark, V, E, n_chunks=n_chunks, spill_dir=spill + "_s", seed=42, symmetric=True
         )
         q["synth_gen_sym"] = time.time() - t0
         cc_runs = []

@@ -265,6 +265,14 @@ class VertexEngine:
         finally:
             if bc is not None:
                 bc.destroy()
+            if transport["kind"] == "file":
+                for key in ("msg", "frontier", "fids"):
+                    p = transport.get(key)
+                    if p:
+                        try:
+                            os.remove(p)
+                        except OSError:
+                            pass
         ids_parts, val_parts = [], []
         for row in rows:
             vals = np.frombuffer(row.vals, dtype=val_dtype)
