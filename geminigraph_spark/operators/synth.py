@@ -95,6 +95,29 @@ def synth_graph(
     V, E, C = n_vertices, n_edges, n_chunks
     bounds = np.linspace(0, V, C + 1).astype(np.int64)
 
+    # reuse: if this exact graph was already generated here (e.g. by a
+    # previous scaling leg), wrap the existing files — generation is not
+    # part of the timed region, and sharing the input between parallelism
+    # levels is precisely what the scaling protocol wants
+    meta_path = os.path.join(spill_dir, "meta.npz")
+    if os.path.exists(meta_path):
+        with np.load(meta_path) as mz:
+            if (
+                int(mz["V"]) == V
+                and int(mz["E"]) == E
+                and int(mz["C"]) == C
+                and int(mz["seed"]) == seed
+                and bool(mz["symmetric"]) == symmetric
+            ):
+                return ChunkedGraph.from_chunk_files(
+                    spark,
+                    spill_dir,
+                    mz["bounds"],
+                    mz["out_degree"],
+                    mz["in_degree"],
+                    owns_spill=False,
+                )
+
     meta = pd.DataFrame({"chunk_id": np.arange(C, dtype=np.int32)})
     mdf = spark.createDataFrame(meta).repartition(C, "chunk_id")
 
@@ -174,6 +197,11 @@ def synth_graph(
         in_degree[bounds[cid] : bounds[cid + 1]] = np.load(f"{prefix}.indeg.npy")
         os.remove(f"{prefix}.outdeg.npy")
         os.remove(f"{prefix}.indeg.npy")
+    np.savez(
+        meta_path,
+        V=V, E=E, C=C, seed=seed, symmetric=symmetric,
+        bounds=bounds, out_degree=out_degree, in_degree=in_degree,
+    )
     return ChunkedGraph.from_chunk_files(
         spark, spill_dir, bounds, out_degree, in_degree
     )

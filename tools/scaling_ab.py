@@ -1,0 +1,92 @@
+"""Interleaved A/B scaling measurement.
+
+Runs the synth bench leg at alternating parallelism levels (several
+rounds), sharing one pre-generated graph, and reports per-level MINIMUM
+exec time — the interleaving cancels the sandbox's slow drift in
+co-tenant load, and min-of-rounds cancels transient spikes (the
+reference's own 6-consecutive-runs protocol, toolkits/pagerank.cpp:
+144-147, applies the same idea within a process).
+
+Usage: python tools/scaling_ab.py [rounds] [cores,cores,...]
+Writes one JSON line to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    levels = (
+        [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [32, 8]
+    )
+    shared = tempfile.mkdtemp(prefix="gemini_ab_")
+    best: dict[int, dict] = {}
+    try:
+        for r in range(rounds):
+            for n in sorted(levels, reverse=True):
+                env = dict(
+                    os.environ,
+                    SPARK_GRAFT_CPUS=str(n),
+                    SPARK_GRAFT_BENCH_SPILL=shared,
+                    SPARK_GRAFT_BENCH_V=os.environ.get("SPARK_GRAFT_BENCH_V", "1000000"),
+                    SPARK_GRAFT_BENCH_E=os.environ.get("SPARK_GRAFT_BENCH_E", "240000000"),
+                    SPARK_GRAFT_BENCH_REPEATS="2",
+                )
+                p = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "bench.py"),
+                     "--sf-dir", "/root/testdata/sf0.1", "--synth-only"],
+                    capture_output=True, text=True, env=env, timeout=3600,
+                )
+                lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+                if not lines:
+                    print(f"round {r} n={n} FAILED: {p.stderr[-500:]}", file=sys.stderr)
+                    continue
+                out = json.loads(lines[-1])
+                print(
+                    f"round {r} n={n}: exec={out['value']} "
+                    f"pr_runs={out['synth']['pagerank_runs']} cc_runs={out['synth']['cc_runs']}",
+                    file=sys.stderr, flush=True,
+                )
+                if n not in best or out["value"] < best[n]["value"]:
+                    best[n] = out
+    finally:
+        shutil.rmtree(shared, ignore_errors=True)
+        shutil.rmtree(shared + "_s", ignore_errors=True)
+
+    thr = {n: 1.0 / best[n]["value"] for n in best}
+    pairs = {
+        f"{n}->{4*n}": round((thr[4 * n] / thr[n]) / 4.0, 3)
+        for n in sorted(best)
+        if 4 * n in best
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "pairs": pairs,
+                "legs": {
+                    str(n): {
+                        "exec_sec": best[n]["value"],
+                        "gteps": best[n]["gteps_synth"],
+                    }
+                    for n in sorted(best)
+                },
+                "graph": best[max(best)]["synth"],
+                "rounds": rounds,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
