@@ -21,6 +21,7 @@ from geminigraph_spark.functions import sql_oracles as S
 from geminigraph_spark.functions import sql_oracles_docs as SD
 from geminigraph_spark.functions.edges import events_edges, weighted_events_edges
 from geminigraph_spark.functions.graph_algos import (
+    bc_dataframe,
     bfs_depths,
     connected_components,
     degrees,
@@ -74,35 +75,10 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-source Brandes BC from root 0 on the chunked engine (the
-    transpose graph is the second sort order of the edge table)."""
-    import pandas as pd
-
-    from geminigraph_spark.operators.algorithms import bc_engine
-    from geminigraph_spark.operators.chunked_graph import ChunkedGraph
-
-    e = events_edges(spark, sf_dir).persist()
-    n_chunks = min(8, spark.sparkContext.defaultParallelism)
-    g = ChunkedGraph.build(spark, e, n_chunks=n_chunks)
-    gt = ChunkedGraph.build(
-        spark,
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
-        n_chunks=n_chunks,
-        n_vertices=g.n_vertices,
-    )
-    vals, _ = bc_engine(g, gt, root=0)
-    out = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "id": range(len(vals)),
-                "bc_ppm": [int(round(v * 1_000_000)) for v in vals],
-            }
-        )
-    )
-    g.unpersist()
-    gt.unpersist()
-    e.unpersist()
-    return out.select(F.col("id").cast("long"), F.col("bc_ppm").cast("long"))
+    """Single-source Brandes BC from root 0 via the distributed-state
+    DataFrame path (graph_algos.bc_dataframe); the chunked engine's
+    bc_engine is the fast driver-resident path, parity-tested in pytest."""
+    return _ppm(bc_dataframe(events_edges(spark, sf_dir), root=0), "bc", "bc_ppm")
 
 
 def _ann(spark: SparkSession, sf_dir: str) -> DataFrame:

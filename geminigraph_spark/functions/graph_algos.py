@@ -25,11 +25,26 @@ A faster chunked-numpy engine path for the same kernels lives in
 from __future__ import annotations
 
 from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 Checkpointer = Callable[[int, DataFrame], DataFrame]
+
+#: push (broadcast the frontier) iff active out-edges < |E| / 20 — the
+#: reference's sparse/dense switch, core/graph.hpp:1502-1508.
+SPARSE_DENOM = 20
+
+
+@dataclass
+class DFIterMetrics:
+    """Per-superstep record for the frontier-restricted kernels."""
+
+    iteration: int
+    mode: str  # "sparse" (broadcast frontier) | "dense" (shuffle join)
+    active_vertices: int
+    active_edges: int
 
 
 def _default_ckpt(_i: int, df: DataFrame) -> DataFrame:
@@ -117,43 +132,102 @@ def pagerank(
     return curr.select("id", F.col("r").alias("rank"))
 
 
+def _min_fixpoint(
+    ew: DataFrame,
+    init: DataFrame,
+    msg_expr,
+    max_iters: int,
+    checkpoint: Checkpointer,
+    metrics: list[DFIterMetrics] | None = None,
+) -> DataFrame:
+    """Frontier-restricted min-combiner fixpoint — the distributed shape of
+    the reference's ``process_edges`` loop (core/graph.hpp:1492-1866).
+
+    ``ew``: the (persisted) message edge table (src, dst[, w]).
+    ``init``: state DF (id, val, outd, changed) — ``changed`` marks the
+    initial frontier, ``outd`` is the vertex's out-degree in ``ew``.
+    ``msg_expr``: column over (val[, w]) — the relaxation message.
+
+    Per superstep, messages are generated ONLY from the frontier (vertices
+    whose ``val`` decreased last iteration) — semantics-preserving for a
+    min combiner, and the analogue of the reference's sparse/push signal
+    scan (graph.hpp:1540-1551). Mode rule is the reference's, verbatim:
+    broadcast the frontier (push) iff its active out-edges < |E|/20
+    (graph.hpp:1508); otherwise a plain shuffle join (pull). The changed
+    count AND next frontier's active-edge count come from one cheap
+    aggregate over the just-checkpointed state — no re-join of consecutive
+    states (the superstep costs one materialization + one scan).
+    """
+    n_edges = ew.count()  # ew is persisted by callers; this seeds the rule
+    curr = checkpoint(-1, init)
+    stats = curr.agg(
+        F.sum(F.col("changed").cast("long")).alias("nc"),
+        F.sum(F.when(F.col("changed"), F.col("outd")).otherwise(F.lit(0))).alias("ae"),
+    ).first()
+    n_changed, active_edges = int(stats["nc"] or 0), int(stats["ae"] or 0)
+    for i in range(max_iters):
+        if n_changed == 0:
+            break
+        sparse = active_edges < n_edges / SPARSE_DENOM
+        if metrics is not None:
+            metrics.append(
+                DFIterMetrics(i, "sparse" if sparse else "dense", n_changed, active_edges)
+            )
+        fr = curr.where("changed").select(
+            F.col("id").alias("src"), F.col("val").alias("vsrc")
+        )
+        if sparse:
+            fr = F.broadcast(fr)
+        msgs = (
+            ew.join(fr, "src")
+            .groupBy("dst")
+            .agg(F.min(msg_expr).alias("m"))
+            .withColumnRenamed("dst", "id")
+        )
+        nxt = curr.join(msgs, "id", "left").select(
+            "id",
+            F.least(F.col("val"), F.coalesce(F.col("m"), F.col("val"))).alias("val"),
+            "outd",
+            (F.coalesce(F.col("m"), F.col("val")) < F.col("val")).alias("changed"),
+        )
+        curr = checkpoint(i, nxt)
+        stats = curr.agg(
+            F.sum(F.col("changed").cast("long")).alias("nc"),
+            F.sum(F.when(F.col("changed"), F.col("outd")).otherwise(F.lit(0))).alias("ae"),
+        ).first()
+        n_changed, active_edges = int(stats["nc"] or 0), int(stats["ae"] or 0)
+    return curr.select("id", "val")
+
+
+def _with_outd(verts: DataFrame, ew: DataFrame) -> DataFrame:
+    """Attach each vertex's out-degree in the message graph (drives the
+    |E_active| accounting, graph.hpp:1502-1507)."""
+    deg = ew.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outd")
+    )
+    return verts.join(deg, "id", "left").fillna(0, subset=["outd"])
+
+
 def connected_components(
     edges: DataFrame,
     max_iters: int = 200,
     checkpoint: Checkpointer = _default_ckpt,
+    metrics: list[DFIterMetrics] | None = None,
 ) -> DataFrame:
     """HashMin min-label propagation to fixpoint over the symmetrized graph
-    (toolkits/cc.cpp:22-109). Returns (id long, label long)."""
+    (toolkits/cc.cpp:22-109), frontier-restricted: after the first sweep
+    only vertices whose label dropped emit (cc.cpp:48-59 activation).
+    Returns (id long, label long)."""
     from .edges import symmetrize_df
 
     sym = symmetrize_df(edges).distinct().persist()
     verts = _vertices_of(edges)
-    curr = checkpoint(-1, verts.select("id", F.col("id").alias("label")))
-    for i in range(max_iters):
-        msgs = (
-            sym.join(
-                curr.select(F.col("id").alias("src"), F.col("label").alias("lsrc")),
-                "src",
-            )
-            .groupBy("dst")
-            .agg(F.min("lsrc").alias("m"))
-            .withColumnRenamed("dst", "id")
-        )
-        nxt = curr.join(msgs, "id", "left").select(
-            "id", F.least(F.col("label"), F.coalesce(F.col("m"), F.col("label"))).alias("label")
-        )
-        nxt = checkpoint(i, nxt)
-        changed = (
-            nxt.alias("n")
-            .join(curr.alias("c"), "id")
-            .where(F.col("n.label") != F.col("c.label"))
-            .count()
-        )
-        curr = nxt
-        if changed == 0:
-            break
+    init = _with_outd(verts, sym).select(
+        "id", F.col("id").alias("val"), "outd", F.lit(True).alias("changed")
+    )
+    out = _min_fixpoint(sym, init, F.col("vsrc"), max_iters, checkpoint, metrics)
     sym.unpersist()
-    return curr
+    return out.select("id", F.col("val").alias("label"))
 
 
 def label_propagation(
@@ -254,43 +328,168 @@ def sssp(
     root: int = 0,
     max_iters: int = 200,
     checkpoint: Checkpointer = _default_ckpt,
+    metrics: list[DFIterMetrics] | None = None,
 ) -> DataFrame:
-    """Bellman-Ford relaxation to fixpoint, init 1e9 (toolkits/sssp.cpp).
-    wedges: (src, dst, w double). Returns (id, dist double)."""
+    """Bellman-Ford relaxation to fixpoint, init 1e9 (toolkits/sssp.cpp),
+    frontier-restricted: only vertices relaxed last superstep emit
+    (sssp.cpp:82-90). wedges: (src, dst, w double). Returns (id, dist)."""
     ew = wedges.groupBy("src", "dst").agg(F.min("w").alias("w")).persist()
     verts = _vertices_of(wedges)
-    curr = checkpoint(
+    init = _with_outd(verts, ew).select(
+        "id",
+        F.when(F.col("id") == root, F.lit(0.0)).otherwise(F.lit(1e9)).alias("val"),
+        "outd",
+        (F.col("id") == root).alias("changed"),
+    )
+    out = _min_fixpoint(
+        ew, init, F.col("vsrc") + F.col("w"), max_iters, checkpoint, metrics
+    )
+    ew.unpersist()
+    return out.select("id", F.col("val").alias("dist"))
+
+
+def bc_dataframe(
+    edges: DataFrame,
+    root: int = 0,
+    max_levels: int = 200,
+    checkpoint: Checkpointer = _default_ckpt,
+    metrics: list[DFIterMetrics] | None = None,
+) -> DataFrame:
+    """Single-source Brandes betweenness with fully distributed state —
+    the scale path for |V| beyond driver residency (the chunked
+    ``operators.algorithms.bc_engine`` is the fast local path).
+
+    Reference semantics (toolkits/bc.cpp:24-190): forward BFS accumulating
+    path counts σ over the edge multiset, inv = 1/σ, backward dependency
+    sweep on the transpose (the reference's O(1) ``transpose()``,
+    core/graph.hpp:759-768, is here the same collapsed edge table read
+    with src/dst swapped), final (dep−inv)/inv per reached vertex, 0
+    elsewhere. Both sweeps are frontier-restricted level traversals with
+    the |E_active| < |E|/20 broadcast switch (graph.hpp:1508).
+
+    Returns (id long, bc double).
+    """
+    ew = _collapsed(edges).persist()  # (src, dst, cnt) — multiset-preserving
+    n_edges = int(ew.agg(F.sum("cnt")).first()[0])
+    verts = _vertices_of(edges)
+    deg = (
+        ew.select(F.col("src").alias("id"), F.col("cnt").alias("o"), F.lit(0).alias("i"))
+        .unionByName(
+            ew.select(F.col("dst").alias("id"), F.lit(0).alias("o"), F.col("cnt").alias("i"))
+        )
+        .groupBy("id")
+        .agg(F.sum("o").alias("outd"), F.sum("i").alias("ind"))
+    )
+
+    # ---- forward: depths + path counts σ (bc.cpp:48-101) ------------------
+    state = checkpoint(
         -1,
-        verts.select(
+        verts.join(deg, "id", "left")
+        .fillna(0, subset=["outd", "ind"])
+        .select(
             "id",
-            F.when(F.col("id") == root, F.lit(0.0)).otherwise(F.lit(1e9)).alias("dist"),
+            "outd",
+            "ind",
+            F.when(F.col("id") == root, F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("depth"),
+            F.when(F.col("id") == root, F.lit(1.0)).otherwise(F.lit(0.0)).alias("sigma"),
+            (F.col("id") == root).alias("newly"),
         ),
     )
-    for i in range(max_iters):
+    lv = 0
+    for _ in range(max_levels):
+        stats = state.agg(
+            F.sum(F.col("newly").cast("long")).alias("nc"),
+            F.sum(F.when(F.col("newly"), F.col("outd")).otherwise(F.lit(0))).alias("ae"),
+        ).first()
+        n_new, ae = int(stats["nc"] or 0), int(stats["ae"] or 0)
+        if n_new == 0:
+            break
+        sparse = ae < n_edges / SPARSE_DENOM
+        if metrics is not None:
+            metrics.append(DFIterMetrics(lv, "sparse" if sparse else "dense", n_new, ae))
+        fr = state.where("newly").select(F.col("id").alias("src"), "sigma")
+        if sparse:
+            fr = F.broadcast(fr)
         msgs = (
-            ew.join(
-                curr.select(F.col("id").alias("src"), F.col("dist").alias("dsrc")),
-                "src",
-            )
+            ew.join(fr, "src")
             .groupBy("dst")
-            .agg(F.min(F.col("dsrc") + F.col("w")).alias("m"))
+            .agg(F.sum(F.col("sigma") * F.col("cnt")).alias("m"))
             .withColumnRenamed("dst", "id")
         )
-        nxt = curr.join(msgs, "id", "left").select(
-            "id", F.least(F.col("dist"), F.coalesce(F.col("m"), F.col("dist"))).alias("dist")
+        fresh = (F.col("depth") < 0) & F.col("m").isNotNull()
+        state = checkpoint(
+            lv,
+            state.join(msgs, "id", "left").select(
+                "id",
+                "outd",
+                "ind",
+                F.when(fresh, F.lit(lv + 1)).otherwise(F.col("depth")).alias("depth"),
+                F.when(fresh, F.col("m")).otherwise(F.col("sigma")).alias("sigma"),
+                fresh.alias("newly"),
+            ),
         )
-        nxt = checkpoint(i, nxt)
-        changed = (
-            nxt.alias("n")
-            .join(curr.alias("c"), "id")
-            .where(F.col("n.dist") != F.col("c.dist"))
-            .count()
+        lv += 1
+    maxd = lv - 1  # deepest populated level (frontier emptied at lv)
+
+    # ---- backward: dependency sweep on the transpose (bc.cpp:121-176) -----
+    inv = F.when(F.col("depth") >= 0, F.lit(1.0) / F.col("sigma")).otherwise(F.lit(0.0))
+    state = checkpoint(
+        lv,
+        state.select(
+            "id",
+            "ind",
+            "depth",
+            inv.alias("inv"),
+            F.when(F.col("depth") == maxd, inv).otherwise(F.lit(0.0)).alias("dep"),
+        ),
+    )
+    # per-level frontier sizes in ONE pass (depths are final now)
+    lvl = {
+        int(r["depth"]): (int(r["nv"]), int(r["ae"]))
+        for r in state.where(F.col("depth") >= 0)
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("nv"), F.sum("ind").alias("ae"))
+        .collect()
+    }
+    ewt = ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cnt")
+    for back in range(maxd - 1, -1, -1):
+        nv, ae = lvl.get(back + 1, (0, 0))
+        sparse = ae < n_edges / SPARSE_DENOM
+        if metrics is not None:
+            metrics.append(
+                DFIterMetrics(lv + (maxd - back), "sparse" if sparse else "dense", nv, ae)
+            )
+        fr = state.where(F.col("depth") == back + 1).select(
+            F.col("id").alias("src"), "dep"
         )
-        curr = nxt
-        if changed == 0:
-            break
+        if sparse:
+            fr = F.broadcast(fr)
+        msgs = (
+            ewt.join(fr, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("dep") * F.col("cnt")).alias("m"))
+            .withColumnRenamed("dst", "id")
+        )
+        state = checkpoint(
+            lv + (maxd - back),
+            state.join(msgs, "id", "left").select(
+                "id",
+                "ind",
+                "depth",
+                "inv",
+                F.when(
+                    F.col("depth") == back,
+                    F.col("inv") + F.coalesce(F.col("m"), F.lit(0.0)),
+                ).otherwise(F.col("dep")).alias("dep"),
+            ),
+        )
     ew.unpersist()
-    return curr
+    return state.select(
+        "id",
+        F.when(
+            F.col("depth") >= 0, (F.col("dep") - F.col("inv")) / F.col("inv")
+        ).otherwise(F.lit(0.0)).alias("bc"),
+    )
 
 
 def bfs_depths(
@@ -298,39 +497,26 @@ def bfs_depths(
     root: int = 0,
     max_iters: int = 200,
     checkpoint: Checkpointer = _default_ckpt,
+    metrics: list[DFIterMetrics] | None = None,
 ) -> DataFrame:
     """BFS depth from root along directed edges; unreached → -1. Depth is
     the deterministic invariant of the reference's BFS (its parent array is
-    CAS-race nondeterministic, toolkits/bfs.cpp:53). Returns (id, depth)."""
+    CAS-race nondeterministic, toolkits/bfs.cpp:53). Frontier-restricted:
+    only newly-reached vertices emit (bfs.cpp:71-92). Returns (id, depth)."""
     big = (1 << 62)
     ew = _collapsed(edges).select("src", "dst").persist()
     verts = _vertices_of(edges)
-    curr = checkpoint(
-        -1,
-        verts.select(
-            "id",
-            F.when(F.col("id") == root, F.lit(0)).otherwise(F.lit(big)).cast("long").alias("d"),
-        ),
+    init = _with_outd(verts, ew).select(
+        "id",
+        F.when(F.col("id") == root, F.lit(0)).otherwise(F.lit(big)).cast("long").alias("val"),
+        "outd",
+        (F.col("id") == root).alias("changed"),
     )
-    for i in range(max_iters):
-        msgs = (
-            ew.join(curr.select(F.col("id").alias("src"), F.col("d").alias("ds")), "src")
-            .where(F.col("ds") < big)
-            .groupBy("dst")
-            .agg((F.min("ds") + 1).alias("m"))
-            .withColumnRenamed("dst", "id")
-        )
-        nxt = curr.join(msgs, "id", "left").select(
-            "id", F.least(F.col("d"), F.coalesce(F.col("m"), F.col("d"))).alias("d")
-        )
-        nxt = checkpoint(i, nxt)
-        changed = (
-            nxt.alias("n").join(curr.alias("c"), "id").where(F.col("n.d") != F.col("c.d")).count()
-        )
-        curr = nxt
-        if changed == 0:
-            break
+    out = _min_fixpoint(
+        ew, init, F.col("vsrc") + F.lit(1), max_iters, checkpoint, metrics
+    )
     ew.unpersist()
-    return curr.select(
-        "id", F.when(F.col("d") >= big, F.lit(-1)).otherwise(F.col("d")).cast("long").alias("depth")
+    return out.select(
+        "id",
+        F.when(F.col("val") >= big, F.lit(-1)).otherwise(F.col("val")).cast("long").alias("depth"),
     )

@@ -5,6 +5,8 @@ import pytest
 
 from geminigraph_spark.functions import oracle_numpy as O
 from geminigraph_spark.functions.graph_algos import (
+    SPARSE_DENOM,
+    bc_dataframe,
     bfs_depths,
     connected_components,
     label_propagation,
@@ -97,6 +99,36 @@ def test_sssp_matches(spark, g):
     got = _as_array(sssp(wdf, root=int(src[0])), "id", "dist", n, np.nan)
     m = ~np.isnan(got)
     assert np.allclose(got[m], want[m], atol=1e-9)
+
+
+def test_bc_dataframe_matches_reference(spark, g):
+    src, dst, n, df = g
+    root = int(src[0])
+    want = O.bc_ref(src, dst, n, root=root)
+    got = _as_array(bc_dataframe(df, root=root), "id", "bc", n, 0.0)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_frontier_metrics_shrink_and_switch_to_sparse(spark, g):
+    """VERDICT r1 #1 done-criterion: the per-iteration scanned-edge metric
+    shrinks with the frontier, and tail iterations flip to sparse/push
+    (|E_active| < |E|/20, core/graph.hpp:1508)."""
+    src, dst, n, df = g
+    mets = []
+    connected_components(df, metrics=mets)
+    assert len(mets) >= 2
+    # first sweep is the full frontier (HashMin init), tail is restricted
+    assert mets[0].mode == "dense"
+    assert mets[-1].active_edges < mets[0].active_edges
+    n_sym_edges = 2 * len(src)  # symmetrized, pre-dedup upper bound
+    for m in mets:
+        if m.mode == "sparse":
+            assert m.active_edges < n_sym_edges / SPARSE_DENOM
+    # bfs from a single root starts sparse by construction
+    mets_bfs = []
+    bfs_depths(df, root=int(src[0]), metrics=mets_bfs)
+    assert mets_bfs[0].mode == "sparse"
+    assert mets_bfs[0].active_vertices == 1
 
 
 def test_bfs_depths_match(spark, g):
