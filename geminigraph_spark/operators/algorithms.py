@@ -54,14 +54,27 @@ def pagerank_engine(
 
 
 def cc_engine(
-    sym_graph: ChunkedGraph, on_state: StateHook | None = None, max_iters: int = 10**6
+    sym_graph: ChunkedGraph,
+    on_state: StateHook | None = None,
+    max_iters: int = 10**6,
+    start: np.ndarray | None = None,
+    start_iter: int = 0,
 ) -> tuple[np.ndarray, VertexEngine]:
-    """HashMin to fixpoint on a symmetrized graph (cc.cpp:22-109)."""
+    """HashMin to fixpoint on a symmetrized graph (cc.cpp:22-109).
+
+    ``start``/``start_iter`` resume from a snapshotted label array; the
+    resume frontier is the safe over-approximation "everyone" (one dense
+    sweep — min combiner, so extra messages cannot change the fixpoint).
+    """
     eng = VertexEngine(sym_graph)
     n = sym_graph.n_vertices
-    label = np.arange(n, dtype=np.int64)
+    label = (
+        start.astype(np.int64).copy()
+        if start is not None
+        else np.arange(n, dtype=np.int64)
+    )
     frontier = np.ones(n, dtype=bool)
-    i = 0
+    i = start_iter
     while frontier.any() and i < max_iters:
         ids, vals = eng.edge_aggregate(label, "min", frontier=frontier, iteration=i)
         changed_m = vals < label[ids]
@@ -75,12 +88,22 @@ def cc_engine(
 
 
 def lp_engine(
-    sym_graph: ChunkedGraph, iters: int = 10, on_state: StateHook | None = None
+    sym_graph: ChunkedGraph,
+    iters: int = 10,
+    on_state: StateHook | None = None,
+    start: np.ndarray | None = None,
+    start_iter: int = 0,
 ) -> tuple[np.ndarray, VertexEngine]:
-    """Mode-combiner label propagation (SURVEY §2.3 A6), synchronized."""
+    """Mode-combiner label propagation (SURVEY §2.3 A6), synchronized.
+    ``start``/``start_iter`` resume a snapshotted label array (LP is
+    full-frontier every iteration, so resume needs no frontier seed)."""
     eng = VertexEngine(sym_graph)
-    label = np.arange(sym_graph.n_vertices, dtype=np.int64)
-    for i in range(iters):
+    label = (
+        start.astype(np.int64).copy()
+        if start is not None
+        else np.arange(sym_graph.n_vertices, dtype=np.int64)
+    )
+    for i in range(start_iter, iters):
         ids, vals = eng.edge_aggregate(label, "mode", iteration=i)
         nxt = label.copy()
         nxt[ids] = vals
@@ -91,16 +114,26 @@ def lp_engine(
 
 
 def sssp_engine(
-    wgraph: ChunkedGraph, root: int = 0, on_state: StateHook | None = None
+    wgraph: ChunkedGraph,
+    root: int = 0,
+    on_state: StateHook | None = None,
+    start: np.ndarray | None = None,
+    start_iter: int = 0,
 ) -> tuple[np.ndarray, VertexEngine]:
-    """Bellman-Ford frontier relaxation (sssp.cpp:24-127), init 1e9."""
+    """Bellman-Ford frontier relaxation (sssp.cpp:24-127), init 1e9.
+    Resume: seed ``start`` distances; the frontier re-arms every settled
+    vertex (safe over-approximation for the min combiner)."""
     eng = VertexEngine(wgraph)
     n = wgraph.n_vertices
-    dist = np.full(n, 1e9, dtype=np.float64)
-    dist[root] = 0.0
-    frontier = np.zeros(n, dtype=bool)
-    frontier[root] = True
-    i = 0
+    if start is not None:
+        dist = start.astype(np.float64).copy()
+        frontier = dist < 1e9
+    else:
+        dist = np.full(n, 1e9, dtype=np.float64)
+        dist[root] = 0.0
+        frontier = np.zeros(n, dtype=bool)
+        frontier[root] = True
+    i = start_iter
     while frontier.any():
         ids, vals = eng.edge_aggregate(
             dist, "min", msg_offset="w", frontier=frontier, iteration=i
@@ -140,7 +173,10 @@ def bc_engine(
     levels = [np.array([root], dtype=np.int64)]
     lv = 0
     while frontier.any():
-        ids, vals = eng.edge_aggregate(sigma, "sum", frontier=frontier, iteration=lv)
+        ids, vals = eng.edge_aggregate(
+            sigma, "sum", frontier=frontier, iteration=lv,
+            dense_selective=depth < 0,
+        )
         new_m = depth[ids] < 0
         newly = ids[new_m]
         depth[newly] = lv + 1
@@ -173,21 +209,34 @@ def bc_engine(
 
 
 def bfs_engine(
-    graph: ChunkedGraph, root: int = 0, on_state: StateHook | None = None
+    graph: ChunkedGraph,
+    root: int = 0,
+    on_state: StateHook | None = None,
+    start: np.ndarray | None = None,
+    start_iter: int = 0,
 ) -> tuple[np.ndarray, VertexEngine]:
     """Frontier BFS; returns depths (unreached = -1). Deterministic
-    (depth, not the reference's CAS-raced parent array, bfs.cpp:53)."""
+    (depth, not the reference's CAS-raced parent array, bfs.cpp:53).
+    Dense/pull iterations skip already-visited dsts via the
+    ``dense_selective`` bitmap (graph.hpp:1665-1689; bfs.cpp:77).
+    Resume: seed ``start`` (internal representation: unreached = big);
+    the frontier re-arms every reached vertex."""
     eng = VertexEngine(graph)
     n = graph.n_vertices
     big = np.iinfo(np.int64).max // 4
-    depth = np.full(n, big, dtype=np.int64)
-    depth[root] = 0
-    frontier = np.zeros(n, dtype=bool)
-    frontier[root] = True
-    i = 0
+    if start is not None:
+        depth = start.astype(np.int64).copy()
+        frontier = depth < big
+    else:
+        depth = np.full(n, big, dtype=np.int64)
+        depth[root] = 0
+        frontier = np.zeros(n, dtype=bool)
+        frontier[root] = True
+    i = start_iter
     while frontier.any():
         ids, vals = eng.edge_aggregate(
-            depth, "min", msg_offset=1, frontier=frontier, iteration=i
+            depth, "min", msg_offset=1, frontier=frontier, iteration=i,
+            dense_selective=depth >= big,
         )
         newly = vals < depth[ids]
         frontier = np.zeros(n, dtype=bool)

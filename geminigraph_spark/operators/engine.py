@@ -44,7 +44,7 @@ from .chunked_graph import ChunkedGraph
 
 SPARSE_DENOM = 20  # push iff active_edges < n_edges / 20 (graph.hpp:1508)
 
-_OUT_SCHEMA = "begin long, ids binary, vals binary"
+_OUT_SCHEMA = "begin long, ids binary, vals binary, n_proc long"
 
 
 def _multi_range_indices(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
@@ -77,7 +77,8 @@ def _mode_per_dst(dl: np.ndarray, labs: np.ndarray):
 
 
 def _load_state(transport: dict):
-    """Worker-side: resolve (msg_vec, frontier, sparse, frontier_ids)."""
+    """Worker-side: resolve (msg_vec, frontier, sparse, frontier_ids,
+    dense_selective)."""
     if transport["kind"] == "bc":
         return transport["bc"].value
     msg = np.load(transport["msg"], mmap_mode="r")
@@ -89,7 +90,10 @@ def _load_state(transport: dict):
     fids = (
         np.load(transport["fids"], mmap_mode="r") if transport["fids"] else None
     )
-    return msg, fro, transport["sparse"], fids
+    dsel = (
+        np.load(transport["dsel"], mmap_mode="r") if transport.get("dsel") else None
+    )
+    return msg, fro, transport["sparse"], fids, dsel
 
 
 def _make_task(combiner: str, val_dtype, msg_offset, transport: dict):
@@ -98,7 +102,7 @@ def _make_task(combiner: str, val_dtype, msg_offset, transport: dict):
     from .chunked_graph import load_chunk_arrays
 
     def task(batches):
-        msg_vec, frontier, sparse, frontier_ids = _load_state(transport)
+        msg_vec, frontier, sparse, frontier_ids, dense_sel = _load_state(transport)
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 begin, end = int(row.begin), int(row.end)
@@ -113,6 +117,13 @@ def _make_task(combiner: str, val_dtype, msg_offset, transport: dict):
                         w = np.asarray(w)[sel]
                 elif frontier is not None:
                     m = np.asarray(frontier)[np.asarray(srcs)]
+                    srcs, dsts = np.asarray(srcs)[m], np.asarray(dsts)[m]
+                    if w is not None:
+                        w = np.asarray(w)[m]
+                if dense_sel is not None and not sparse:
+                    # pull-skip at already-settled dsts — the reference's
+                    # dense_selective bitmap (graph.hpp:1665-1689; bfs.cpp:77)
+                    m = np.asarray(dense_sel)[np.asarray(dsts)]
                     srcs, dsts = np.asarray(srcs)[m], np.asarray(dsts)[m]
                     if w is not None:
                         w = np.asarray(w)[m]
@@ -159,6 +170,7 @@ def _make_task(combiner: str, val_dtype, msg_offset, transport: dict):
                         "begin": [begin],
                         "ids": [ids_b],
                         "vals": [np.ascontiguousarray(vals, dtype=val_dtype).tobytes()],
+                        "n_proc": [len(srcs)],
                     }
                 )
 
@@ -172,6 +184,7 @@ class IterationMetrics:
     active_vertices: int
     active_edges: int
     wall_s: float
+    processed_edges: int = -1  # measured inside tasks (post dense_selective)
 
 
 class VertexEngine:
@@ -204,10 +217,10 @@ class VertexEngine:
             return self.g.n_edges
         return int(self.g.out_degree[active].sum())
 
-    def _ship_state(self, msg_vec, frontier, sparse, frontier_ids):
+    def _ship_state(self, msg_vec, frontier, sparse, frontier_ids, dense_sel=None):
         if self.transport == "bc":
             bc = self.g.spark.sparkContext.broadcast(
-                (msg_vec, frontier, sparse, frontier_ids)
+                (msg_vec, frontier, sparse, frontier_ids, dense_sel)
             )
             return {"kind": "bc", "bc": bc}, bc
         self._seq += 1
@@ -218,6 +231,7 @@ class VertexEngine:
             "msg": base + ".msg.npy",
             "frontier": "",
             "fids": "",
+            "dsel": "",
             "sparse": sparse,
         }
         if frontier is not None:
@@ -226,6 +240,9 @@ class VertexEngine:
         if frontier_ids is not None:
             np.save(base + ".fid.npy", frontier_ids)
             t["fids"] = base + ".fid.npy"
+        if dense_sel is not None:
+            np.save(base + ".dsel.npy", dense_sel)
+            t["dsel"] = base + ".dsel.npy"
         return t, None
 
     # ---- V2: edge-centric aggregation (graph.hpp:1492-1866) --------------
@@ -237,10 +254,13 @@ class VertexEngine:
         frontier: np.ndarray | None = None,
         iteration: int = -1,
         force_mode: str | None = None,
+        dense_selective: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """One superstep. Returns (ids, vals) of dsts that received ≥1
         message, aggregated with ``combiner``. ``frontier`` is a boolean
-        mask over vertices (None = all active)."""
+        mask over vertices (None = all active). ``dense_selective`` is a
+        boolean dst mask applied only in dense/pull mode — the reference's
+        visited-skip bitmap (core/graph.hpp:1665-1689, bfs.cpp:77)."""
         t0 = time.time()
         g = self.g
         active_edges = self.active_out_edges(frontier)
@@ -256,9 +276,13 @@ class VertexEngine:
         frontier_ids = (
             np.flatnonzero(frontier) if (sparse and frontier is not None) else None
         )
+        if sparse or (dense_selective is not None and dense_selective.all()):
+            dense_selective = None
         val_dtype = np.float64 if msg_vec.dtype.kind == "f" else np.int64
 
-        transport, bc = self._ship_state(msg_vec, frontier, sparse, frontier_ids)
+        transport, bc = self._ship_state(
+            msg_vec, frontier, sparse, frontier_ids, dense_selective
+        )
         try:
             task = _make_task(combiner, val_dtype, msg_offset, transport)
             rows = g.chunks.mapInPandas(task, _OUT_SCHEMA).collect()
@@ -266,7 +290,7 @@ class VertexEngine:
             if bc is not None:
                 bc.destroy()
             if transport["kind"] == "file":
-                for key in ("msg", "frontier", "fids"):
+                for key in ("msg", "frontier", "fids", "dsel"):
                     p = transport.get(key)
                     if p:
                         try:
@@ -274,7 +298,9 @@ class VertexEngine:
                         except OSError:
                             pass
         ids_parts, val_parts = [], []
+        processed = 0
         for row in rows:
+            processed += int(row.n_proc)
             vals = np.frombuffer(row.vals, dtype=val_dtype)
             if row.ids is None:
                 ids = np.arange(row.begin, row.begin + len(vals), dtype=np.int64)
@@ -295,6 +321,7 @@ class VertexEngine:
                 active_vertices=active_vertices,
                 active_edges=active_edges,
                 wall_s=time.time() - t0,
+                processed_edges=processed,
             )
         )
         return out_ids, out_vals

@@ -18,7 +18,8 @@ warc_ts, html, text, lang → links are extracted + encoded) or --edges
 
 Every iteration snapshots vertex state + metrics through
 plans.checkpoint.SnapshotStore (per-chunk lineage; see north_rule), so
-any run resumes mid-computation with --resume.
+pagerank/cc/lp/sssp/bfs runs resume mid-computation with --resume
+(bc is two-phase with no snapshot hook and rejects --resume).
 """
 
 from __future__ import annotations
@@ -100,10 +101,22 @@ def main() -> int:
     sym_needed = args.workload in ("cc", "lp")
     e = symmetrize_df(edges) if sym_needed else edges
     weighted = args.workload == "sssp"
+    if weighted and "w" not in e.columns:
+        # pages-derived (and plain src/dst) edges carry no weight column:
+        # derive the deterministic integer-arithmetic weights the library
+        # uses everywhere (functions/edges.weighted_events_edges)
+        e = e.withColumn(
+            "w",
+            ((F.col("src") * 7 + F.col("dst") * 13) % 100).cast("double") / 10.0
+            + 0.1,
+        )
     g = ChunkedGraph.build(spark, e, n_chunks=n_chunks, weighted=weighted)
 
     start, start_iter = None, 0
     if args.resume and store is not None:
+        if args.workload == "bc":
+            ap.error("--resume is not supported for bc (two-phase kernel "
+                     "with no snapshot hook); rerun without --resume")
         latest = store.latest()
         if latest is not None:
             start_iter, start = latest[0] + 1, latest[1]
@@ -114,16 +127,24 @@ def main() -> int:
         )
         col = "rank"
     elif args.workload == "cc":
-        vals, eng = A.cc_engine(g, on_state=hook(g))
+        vals, eng = A.cc_engine(
+            g, on_state=hook(g), start=start, start_iter=start_iter
+        )
         col = "label"
     elif args.workload == "lp":
-        vals, eng = A.lp_engine(g, iters=args.iters, on_state=hook(g))
+        vals, eng = A.lp_engine(
+            g, iters=args.iters, on_state=hook(g), start=start, start_iter=start_iter
+        )
         col = "label"
     elif args.workload == "sssp":
-        vals, eng = A.sssp_engine(g, root=args.root, on_state=hook(g))
+        vals, eng = A.sssp_engine(
+            g, root=args.root, on_state=hook(g), start=start, start_iter=start_iter
+        )
         col = "dist"
     elif args.workload == "bfs":
-        vals, eng = A.bfs_engine(g, root=args.root, on_state=hook(g))
+        vals, eng = A.bfs_engine(
+            g, root=args.root, on_state=hook(g), start=start, start_iter=start_iter
+        )
         col = "depth"
     else:  # bc
         gt = ChunkedGraph.build(

@@ -96,6 +96,57 @@ def test_bfs_engine_matches(built):
     assert np.array_equal(got, want)
 
 
+def test_bfs_dense_selective_prunes_processed_edges(built):
+    """dense_selective (graph.hpp:1665-1689, bfs.cpp:77): dense/pull BFS
+    iterations skip already-visited dsts, so the measured processed-edge
+    count is strictly below the frontier's active-edge upper bound once
+    some vertices are settled — and results are unchanged (asserted by
+    test_bfs_engine_matches which runs the same code path)."""
+    src, dst, w, n, g, sym, wg = built
+    root = int(src[0])
+    _, eng = bfs_engine(g, root=root)
+    dense = [m for m in eng.metrics if m.mode == "dense" and m.iteration > 0]
+    assert dense, "expected at least one dense iteration past the root"
+    assert all(m.processed_edges <= m.active_edges for m in eng.metrics)
+    assert any(m.processed_edges < m.active_edges for m in dense)
+
+
+def test_engine_resume_mid_run_identical(built):
+    """ADVICE r1: cc/sssp/bfs engines accept start/start_iter — a snapshot
+    taken mid-run resumes to the exact same fixpoint."""
+    src, dst, w, n, g, sym, wg = built
+    root = int(src[0])
+
+    snaps = {}
+    want_cc, _ = cc_engine(sym, on_state=lambda i, a: snaps.__setitem__(i, a.copy()))
+    mid = sorted(snaps)[len(snaps) // 2]
+    got_cc, _ = cc_engine(sym, start=snaps[mid], start_iter=mid + 1)
+    assert np.array_equal(got_cc, want_cc)
+
+    snaps = {}
+    want_d, _ = sssp_engine(
+        wg, root=root, on_state=lambda i, a: snaps.__setitem__(i, a.copy())
+    )
+    mid = sorted(snaps)[len(snaps) // 2]
+    got_d, _ = sssp_engine(wg, root=root, start=snaps[mid], start_iter=mid + 1)
+    assert np.allclose(got_d, want_d, atol=0)
+
+    snaps = {}
+    want_b, _ = bfs_engine(
+        g, root=root, on_state=lambda i, a: snaps.__setitem__(i, a.copy())
+    )
+    mid = sorted(snaps)[len(snaps) // 2]
+    got_b, _ = bfs_engine(g, root=root, start=snaps[mid], start_iter=mid + 1)
+    assert np.array_equal(got_b, want_b)
+
+    snaps = {}
+    want_l, _ = lp_engine(
+        sym, iters=6, on_state=lambda i, a: snaps.__setitem__(i, a.copy())
+    )
+    got_l, _ = lp_engine(sym, iters=6, start=snaps[2], start_iter=3)
+    assert np.array_equal(got_l, want_l)
+
+
 def test_push_pull_parity(built):
     """Forced sparse vs forced dense give identical aggregates —
     the mode switch is a physical-plan choice only."""
