@@ -43,6 +43,13 @@ def main() -> int:
     ap.add_argument("--run-id", default="run")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--n-chunks", type=int, default=0)
+    ap.add_argument(
+        "--graph-table",
+        default="",
+        help="persisted ChunkedGraph dir (parquet bucketed by dst_chunk + "
+        "manifest): loaded if it exists, else built from the input and "
+        "saved there — so reruns/resumes skip the degree + bucketing pass",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -110,7 +117,16 @@ def main() -> int:
             ((F.col("src") * 7 + F.col("dst") * 13) % 100).cast("double") / 10.0
             + 0.1,
         )
-    g = ChunkedGraph.build(spark, e, n_chunks=n_chunks, weighted=weighted)
+    import os
+
+    if args.graph_table and os.path.exists(
+        os.path.join(args.graph_table, "manifest.json")
+    ):
+        g = ChunkedGraph.load(spark, args.graph_table)
+    else:
+        g = ChunkedGraph.build(spark, e, n_chunks=n_chunks, weighted=weighted)
+        if args.graph_table:
+            g.save(args.graph_table)
 
     start, start_iter = None, 0
     if args.resume and store is not None:

@@ -205,6 +205,52 @@ def test_synth_graph_matches_direct(spark, tmp_path):
     assert np.array_equal(got_cc, want_cc)
 
 
+def test_save_load_roundtrip_pagerank(spark, built, tmp_path):
+    """VERDICT r1 #4: persist the chunked layout as a real table (parquet
+    partitioned by dst_chunk, src-sorted) and rebuild WITHOUT recomputing
+    degrees/boundaries; kernels on the reloaded graph match."""
+    src, dst, w, n, g, sym, wg = built
+    d = str(tmp_path / "graph_table")
+    g.save(d)
+    g2 = ChunkedGraph.load(spark, d, spill_dir=str(tmp_path / "spill2"))
+    assert g2.n_vertices == g.n_vertices and g2.n_edges == g.n_edges
+    assert np.array_equal(g2.boundaries, g.boundaries)
+    assert np.array_equal(g2.out_degree, g.out_degree)
+    assert "load_s" in g2.build_meta  # rebuilt via load, not a degree pass
+    want, _ = pagerank_engine(g, iters=6)
+    got, _ = pagerank_engine(g2, iters=6)
+    assert np.allclose(got, want, atol=0)
+    # weighted graph round-trips its w column too
+    dw = str(tmp_path / "wgraph_table")
+    wg.save(dw)
+    wg2 = ChunkedGraph.load(spark, dw, spill_dir=str(tmp_path / "spill3"))
+    root = int(src[0])
+    want_d, _ = sssp_engine(wg, root=root)
+    got_d, _ = sssp_engine(wg2, root=root)
+    assert np.allclose(got_d, want_d, atol=0)
+    g2.unpersist()
+    wg2.unpersist()
+
+
+def test_distributed_boundaries_build_matches(spark, built):
+    """distributed_boundaries=True (plans/partition.assign_chunks two-pass
+    cumsum) yields a valid contiguous layout with identical kernel output."""
+    src, dst, w, n, g, sym, wg = built
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(src, dst)], "src long, dst long"
+    )
+    g2 = ChunkedGraph.build(
+        spark, df, n_chunks=5, n_vertices=n, distributed_boundaries=True
+    )
+    assert g2.boundaries[0] == 0 and g2.boundaries[-1] == n
+    assert (np.diff(g2.boundaries) >= 0).all()
+    assert np.array_equal(g2.out_degree, g.out_degree)
+    want, _ = pagerank_engine(g, iters=5)
+    got, _ = pagerank_engine(g2, iters=5)
+    assert np.allclose(got, want, atol=1e-12)
+    g2.unpersist()
+
+
 def test_bc_engine_matches_oracle(spark, built, tmp_path):
     from pyspark.sql import functions as SF
 
