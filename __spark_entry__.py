@@ -87,6 +87,12 @@ def _ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(spark, sf_dir)
 
 
+def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geminigraph_spark.functions.similarity import ann_recall
+
+    return ann_recall(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 20-iteration reference-semantics PageRank at sf0.001."""
     return pagerank(events_edges(spark, SF0001), iters=20)
@@ -115,9 +121,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": D.simhash,
         "cosine_topk": D.cosine_topk,
         "embedding_neardup": D.embedding_neardup,
-        # approximate NN (rows-only check: result is approximate by design,
-        # pytest asserts recall vs the exact cosine_topk oracle)
+        # approximate NN: the top-k rows themselves are approximate by
+        # design (rows-only check); ann_recall is the deterministic
+        # oracle-checked quality gate (recall@3 vs cosine_topk ≥ 0.9)
         "ann_lsh_topk": _ann,
+        "ann_recall": _ann_recall,
     }
 
 
@@ -142,4 +150,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash": SD.simhash_sql(),
         "cosine_topk": SD.cosine_topk_sql(),
         "embedding_neardup": SD.embedding_neardup_sql(),
+        "ann_recall": _ann_recall_sql(),
     }
+
+
+def _ann_recall_sql() -> str:
+    from geminigraph_spark.functions.similarity import ann_recall_sql
+
+    return ann_recall_sql()

@@ -1,18 +1,33 @@
 """Approximate nearest-neighbor search over the embeddings table.
 
 Baseline: brute-force cosine top-k (docpipe.cosine_topk — oracle-checked).
-Scale path: random-hyperplane LSH — bucket vectors by the sign pattern of
-h fixed hyperplane projections, probe the query's bucket plus all
-Hamming-1 neighbors, brute-force only within candidates. Candidate count
-is ~N·(h+1)/2^h, so the cross-join is linear-ish instead of quadratic;
-on a cluster the bucket join is a plain shuffle join on the bucket key.
+Scale path: random-hyperplane LSH with
 
-The hyperplanes come from a seeded RNG and are broadcast; projection runs
-as a vectorized pandas UDF over Arrow batches (matrix multiply per
-batch — no per-row Python).
+- **size-derived bucket count** — ``n_planes`` defaults to
+  ceil(log2(N / TARGET_BUCKET_ROWS)), so the expected bucket holds
+  ~TARGET_BUCKET_ROWS vectors at ANY corpus size (a fixed plane count
+  degenerates to brute force as N grows);
+- **multi-table OR-amplification** — L independent hyperplane tables;
+  a (query, neighbor) pair is a candidate if they collide in any table
+  (recall boost without widening any single probe);
+- **multiprobe** — each query probes its own bucket plus all Hamming-1
+  neighbors per table.
+
+Candidates per query ≈ L·(h+1)·TARGET_BUCKET_ROWS — constant-ish and
+independent of N; the bucket join is a plain shuffle join on
+(table, bucket) at cluster scale. The hyperplanes come from a seeded RNG
+and are broadcast; projection runs as a vectorized pandas UDF over Arrow
+batches (one matrix multiply per batch — no per-row Python).
+
+``ann_recall`` is the deterministic quality gate: recall@k of the LSH
+result against the exact cosine_topk baseline, thresholded — the whole
+pipeline is seeded, so the pass/fail bit is reproducible and
+oracle-checkable.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -20,19 +35,34 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 LSH_SEED = 42
+#: expected rows per bucket the plane count is sized for
+TARGET_BUCKET_ROWS = 128
+MIN_PLANES = 4
+RECALL_THRESHOLD = 0.9
 
 
-def _bucket_udf(planes: np.ndarray):
+def planes_for(n_rows: int, target: int = TARGET_BUCKET_ROWS) -> int:
+    """h = ceil(log2(N/target)) — keeps E[bucket size] ≈ target at any N."""
+    return max(MIN_PLANES, int(math.ceil(math.log2(max(2.0, n_rows / target)))))
+
+
+def _buckets_udf(planes: np.ndarray):
+    """planes: (L, h, dim) → UDF emitting the L per-table bucket ids."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("int")
-    def bucket_of(emb: pd.Series) -> pd.Series:
-        m = np.stack(emb.values).astype(np.float64)  # (batch, dim)
-        signs = (m @ planes.T) > 0  # (batch, h)
-        vals = (signs * (1 << np.arange(planes.shape[0]))).sum(axis=1)
-        return pd.Series(vals.astype(np.int32))
+    n_tables, n_planes, _ = planes.shape
+    flat = planes.reshape(n_tables * n_planes, -1)
+    weights = 1 << np.arange(n_planes)
 
-    return bucket_of
+    @pandas_udf("array<int>")
+    def buckets_of(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.values).astype(np.float64)  # (batch, dim)
+        signs = (m @ flat.T) > 0  # (batch, L*h)
+        signs = signs.reshape(len(m), n_tables, n_planes)
+        vals = (signs * weights).sum(axis=2).astype(np.int32)  # (batch, L)
+        return pd.Series(list(vals))
+
+    return buckets_of
 
 
 def ann_lsh_topk(
@@ -40,46 +70,54 @@ def ann_lsh_topk(
     sf_dir: str,
     n_queries: int = 20,
     k: int = 3,
-    n_planes: int = 4,
+    n_planes: int | None = None,
+    n_tables: int = 6,
     dim: int = 64,
 ) -> DataFrame:
     """(query_id, neighbor_id, rnk, sim_ppm) — approximate top-k via
-    multiprobe (Hamming ≤ 1) random-hyperplane LSH."""
+    multi-table, multiprobe (Hamming ≤ 1) random-hyperplane LSH."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if n_planes is None:
+        n_planes = planes_for(e.count())
     rng = np.random.default_rng(LSH_SEED)
-    planes = rng.standard_normal((n_planes, dim))
-    bucket_of = _bucket_udf(planes)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    buckets_of = _buckets_udf(planes)
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "bucket", bucket_of(F.col("embedding"))
-    )
-    cands = e.select(
+    base = e.withColumn("buckets", buckets_of(F.col("embedding")))
+    cands = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
-        "bucket",
+        F.posexplode("buckets").alias("tbl", "bucket"),
     )
-    # query probes its own bucket + every Hamming-1 bucket
-    probes = [F.col("bucket")] + [
-        F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
-    ]
+    # each query probes, per table, its own bucket + every Hamming-1 bucket
+    flips = F.array(
+        F.col("b0"), *[F.col("b0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    )
     q = (
-        e.where(F.col("vec_id") < n_queries)
+        base.where(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
-            F.explode(F.array(*probes)).alias("bucket"),
+            F.posexplode("buckets").alias("tbl", "b0"),
         )
+        .select("query_id", "qe", "tbl", F.explode(flips).alias("bucket"))
     )
     from .docpipe import _cosine
 
     sims = (
-        q.join(cands, "bucket")
+        q.join(cands, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             F.round(_cosine(F.col("qe"), F.col("ce")) * 1e9).cast("long").alias("sim_q"),
         )
-        .distinct()
+        # OR over tables/probes: dedup AFTER scoring so the shuffle carries
+        # an 8-byte score, not two 64-dim arrays (cosine recompute per
+        # duplicate collision is cheap; the map-side partial agg collapses
+        # most duplicates before the exchange)
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("sim_q").alias("sim_q"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_q").desc(), F.col("neighbor_id").asc()
@@ -93,4 +131,48 @@ def ann_lsh_topk(
             F.col("rnk").cast("long").alias("rnk"),
             F.round(F.col("sim_q") / 1000.0).cast("long").alias("sim_ppm"),
         )
+    )
+
+
+def ann_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 20,
+    k: int = 3,
+    threshold: float = RECALL_THRESHOLD,
+) -> DataFrame:
+    """Deterministic ANN quality gate: one row
+    (n_queries, k, recall_pass) where recall_pass = 1 iff recall@k of
+    ann_lsh_topk against the exact cosine_topk baseline ≥ ``threshold``.
+    Seeded LSH + deterministic tie-breaks make the bit reproducible, so
+    the DuckDB oracle is a constant — the gate fails exactly when the
+    index's recall regresses."""
+    from .docpipe import cosine_topk
+
+    exact = cosine_topk(spark, sf_dir, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_lsh_topk(spark, sf_dir, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    stats = exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+    )
+    return stats.select(
+        F.lit(n_queries).cast("long").alias("n_queries"),
+        F.lit(k).cast("long").alias("k"),
+        (F.col("n_hit") >= F.lit(threshold) * F.col("n_exact"))
+        .cast("long")
+        .alias("recall_pass"),
+    )
+
+
+def ann_recall_sql(n_queries: int = 20, k: int = 3) -> str:
+    """DuckDB twin of ann_recall: the expected constant. The Spark side
+    computes real recall; if the LSH index regresses below threshold the
+    hash comparison fails."""
+    return (
+        f"SELECT CAST({n_queries} AS BIGINT) AS n_queries, "
+        f"CAST({k} AS BIGINT) AS k, CAST(1 AS BIGINT) AS recall_pass"
     )

@@ -9,19 +9,26 @@ SF = "/root/testdata/sf0.001"
 
 def test_ann_lsh_recall_and_pruning(spark):
     from geminigraph_spark.functions.docpipe import cosine_topk
-    from geminigraph_spark.functions.similarity import ann_lsh_topk
+    from geminigraph_spark.functions.similarity import ann_lsh_topk, planes_for
 
     exact = cosine_topk(spark, SF, n_queries=10, k=3).toPandas()
     approx = ann_lsh_topk(spark, SF, n_queries=10, k=3).toPandas()
     e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
     a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.2  # approximate by design; must find *some* true nbrs
+    assert recall >= 0.9  # the ann_recall gate threshold, held in pytest too
     assert len(approx) > 0
-    # pruning: candidate space per query must be far below N
-    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
     assert approx["sim_ppm"].notna().all()
-    assert recall <= 1.0 and n > 50
+    # the plane count scales with corpus size: E[bucket] ≈ TARGET_BUCKET_ROWS
+    assert planes_for(500) == 4
+    assert planes_for(10**9) == 23  # ~8M buckets of ~128 at a billion rows
+
+
+def test_ann_recall_gate_row(spark):
+    from geminigraph_spark.functions.similarity import ann_recall
+
+    row = ann_recall(spark, SF).first()
+    assert row["recall_pass"] == 1 and row["n_queries"] == 20
 
 
 def test_multimodal_image_roundtrip(spark):
