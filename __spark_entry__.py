@@ -126,7 +126,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked quality gate (recall@3 vs cosine_topk ≥ 0.9)
         "ann_lsh_topk": _ann,
         "ann_recall": _ann_recall,
+        # multimodal plumbing over deterministic synthetic binary assets
+        "image_features": _mm_image,
+        "audio_features": _mm_audio,
+        "frame_sample": _mm_frames,
     }
+
+
+def _mm_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geminigraph_spark.functions.multimodal import image_features_query
+
+    return image_features_query(spark, sf_dir)
+
+
+def _mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geminigraph_spark.functions.multimodal import audio_features_query
+
+    return audio_features_query(spark, sf_dir)
+
+
+def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geminigraph_spark.functions.multimodal import frame_sample_query
+
+    return frame_sample_query(spark, sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -151,6 +173,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": SD.cosine_topk_sql(),
         "embedding_neardup": SD.embedding_neardup_sql(),
         "ann_recall": _ann_recall_sql(),
+        "image_features": SD.image_features_sql(),
+        "audio_features": SD.audio_features_sql(),
+        "frame_sample": SD.frame_sample_sql(),
     }
 
 

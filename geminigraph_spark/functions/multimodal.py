@@ -21,11 +21,28 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 IMG_MAGIC = b"GMM1"
 AUD_MAGIC = b"GMA1"
+
+# Deterministic synthetic-asset derivations keyed on documents.doc_id —
+# pure integer arithmetic mirrored verbatim in the DuckDB oracle SQL
+# (sql_oracles_docs.image_features_sql and friends), so the multimodal
+# plumbing gets a real value-hash gate despite the container having no
+# binary asset table or codec libraries.
+IMG_W_BASE, IMG_W_MOD = 8, 13  # width  = 8 + doc_id % 13
+IMG_H_BASE, IMG_H_MOD = 4, 7  # height = 4 + doc_id % 7
+IMG_CHANNELS = 3
+IMG_PX_A, IMG_PX_B = 7, 13  # pixel[i] = (doc_id*7 + i*13) % 256
+AUD_SR_BASE, AUD_SR_STEP, AUD_SR_MOD = 8000, 1000, 5
+AUD_N_BASE, AUD_N_MOD = 50, 37  # n_samples = 50 + doc_id % 37
+AUD_S_A, AUD_S_B, AUD_S_MOD, AUD_S_OFF = 11, 7, 2001, 1000
+VID_FRAME_BYTES = 64
+VID_NF_MOD, VID_TAIL_MOD = 9, 17  # len = 64*(1+id%9) + id%17
+VID_B_A, VID_B_B = 5, 3  # byte[i] = (doc_id*5 + i*3) % 256
+VID_EVERY_K = 4
 
 ASSET_SCHEMA = T.StructType(
     [
@@ -85,29 +102,55 @@ def _decode_payload(payload: bytes, codec: str):
     raise ValueError("unknown payload magic")
 
 
+def _segment_stats(concat: np.ndarray, lengths: np.ndarray):
+    """Vectorized per-segment (mean, std) over one concatenated value
+    buffer: exact int64 sums via add.reduceat, then the closed-form
+    std = sqrt(E[x²] − E[x]²) — the SAME float expression (and op order)
+    the DuckDB oracle evaluates, so ppm quantization agrees bit-for-bit.
+    Zero-length segments yield (0.0, 0.0)."""
+    n = lengths.astype(np.int64)
+    if len(n) == 0:
+        return np.empty(0), np.empty(0)
+    starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+    nz = n > 0
+    mean = np.zeros(len(n), dtype=np.float64)
+    std = np.zeros(len(n), dtype=np.float64)
+    if nz.any():
+        x = concat.astype(np.int64)
+        s = np.add.reduceat(x, starts[nz])
+        ss = np.add.reduceat(x * x, starts[nz])
+        m = s / n[nz]
+        mean[nz] = m
+        std[nz] = np.sqrt(ss / n[nz] - m * m)
+    return mean, std
+
+
 def image_features(assets: DataFrame, codec: str = "fake") -> DataFrame:
-    """Decode + per-image stats. Arrow batches in, one row per image out."""
+    """Decode + per-image stats. Arrow batches in, one row per image out.
+    Header parse is O(1)/row; the pixel statistics are computed in one
+    vectorized segment reduction per batch (no per-pixel Python)."""
     src = assets.select("asset_id", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            metas, parts = [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                kind, w, h, c, px = _decode_payload(bytes(payload), codec)
-                rows.append(
-                    (
-                        int(aid), int(w), int(h), int(c),
-                        float(px.mean()) if px.size else 0.0,
-                        float(px.std()) if px.size else 0.0,
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "asset_id", "width", "height", "channels",
-                    "mean_intensity", "std_intensity",
-                ],
+                _, w, h, c, px = _decode_payload(bytes(payload), codec)
+                metas.append((int(aid), int(w), int(h), int(c)))
+                parts.append(px)
+            if not metas:
+                continue
+            lengths = np.array([len(p) for p in parts], dtype=np.int64)
+            concat = (
+                np.concatenate(parts) if lengths.sum() else np.empty(0, np.uint8)
             )
+            mean, std = _segment_stats(concat, lengths)
+            out = pd.DataFrame(
+                metas, columns=["asset_id", "width", "height", "channels"]
+            )
+            out["mean_intensity"] = mean
+            out["std_intensity"] = std
+            yield out
 
     return src.mapInPandas(run, IMG_FEATURES_SCHEMA)
 
@@ -137,14 +180,26 @@ def audio_features(assets: DataFrame, codec: str = "fake") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            metas, parts = [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 _, sr, samples = _decode_payload(bytes(payload), codec)
-                rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if samples.size else 0.0
-                rows.append((int(aid), int(sr), int(samples.size), rms))
-            yield pd.DataFrame(
-                rows, columns=["asset_id", "sample_rate", "n_samples", "rms"]
-            )
+                metas.append((int(aid), int(sr), int(samples.size)))
+                parts.append(samples)
+            if not metas:
+                continue
+            lengths = np.array([len(p) for p in parts], dtype=np.int64)
+            # one vectorized segment reduction per batch: exact int64
+            # Σx² then rms = sqrt(ss/n) — the oracle's float expression
+            rms = np.zeros(len(lengths), dtype=np.float64)
+            nz = lengths > 0
+            if nz.any():
+                x = np.concatenate(parts).astype(np.int64)
+                starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+                ss = np.add.reduceat(x * x, starts[nz])
+                rms[nz] = np.sqrt(ss / lengths[nz])
+            out = pd.DataFrame(metas, columns=["asset_id", "sample_rate", "n_samples"])
+            out["rms"] = rms
+            yield out
 
     return src.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
@@ -174,3 +229,143 @@ def frame_sample(assets: DataFrame, every_k: int = 4, frame_bytes: int = 64) -> 
             yield pd.DataFrame(rows, columns=["asset_id", "frame_no", "frame"])
 
     return src.mapInPandas(run, schema)
+
+
+# --------------------------------------------------------------------------
+# Deterministic synthetic assets over the documents table (gate fixtures).
+# Payload construction is vectorized: per batch, ONE arithmetic pass builds
+# every asset's bytes (np.repeat/arange segment indexing), then a cheap
+# per-row split/tobytes — the same shape real encode work would take.
+# --------------------------------------------------------------------------
+
+
+def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+
+def _segment_values(ids: np.ndarray, lengths: np.ndarray, a: int, b: int, mod: int):
+    """values[i] = (id*a + i*b) % mod per segment, one vectorized pass."""
+    tot = int(lengths.sum())
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    rid = np.repeat(np.arange(len(ids)), lengths)
+    i = np.arange(tot, dtype=np.int64) - np.repeat(starts, lengths)
+    vals = (ids[rid] * a + i * b) % mod
+    return np.split(vals, np.cumsum(lengths)[:-1])
+
+
+def synth_image_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id=doc_id, kind='image', payload) — fake-codec images whose
+    dimensions and pixels are pure arithmetic over doc_id (module-top
+    constants), mirrored by sql_oracles_docs.image_features_sql."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["doc_id"].values.astype(np.int64)
+            w = IMG_W_BASE + ids % IMG_W_MOD
+            h = IMG_H_BASE + ids % IMG_H_MOD
+            lengths = w * h * IMG_CHANNELS
+            parts = _segment_values(ids, lengths, IMG_PX_A, IMG_PX_B, 256)
+            payloads = [
+                encode_fake_image(int(wi), int(hi), IMG_CHANNELS, p.astype(np.uint8))
+                for wi, hi, p in zip(w, h, parts)
+            ]
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": "image", "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(run, ASSET_SCHEMA)
+
+
+def synth_audio_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id=doc_id, kind='audio', payload) — fake-codec int16 audio."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["doc_id"].values.astype(np.int64)
+            sr = AUD_SR_BASE + (ids % AUD_SR_MOD) * AUD_SR_STEP
+            lengths = AUD_N_BASE + ids % AUD_N_MOD
+            parts = _segment_values(ids, lengths, AUD_S_A, AUD_S_B, AUD_S_MOD)
+            payloads = [
+                encode_fake_audio(int(s), (p - AUD_S_OFF).astype(np.int16))
+                for s, p in zip(sr, parts)
+            ]
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": "audio", "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(run, ASSET_SCHEMA)
+
+
+def synth_video_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id=doc_id, kind='video', payload) — raw frame buffers (64-byte
+    frames + a partial tail byte run that frame_sample must ignore)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["doc_id"].values.astype(np.int64)
+            lengths = VID_FRAME_BYTES * (1 + ids % VID_NF_MOD) + ids % VID_TAIL_MOD
+            parts = _segment_values(ids, lengths, VID_B_A, VID_B_B, 256)
+            payloads = [p.astype(np.uint8).tobytes() for p in parts]
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": "video", "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(run, ASSET_SCHEMA)
+
+
+# ---- driver-gate query wrappers (ppm-quantized, oracle-checked) ----------
+
+
+def image_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    feats = image_features(synth_image_assets(_doc_ids(spark, sf_dir)))
+    return feats.select(
+        F.col("asset_id").alias("id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.round(F.col("mean_intensity") * 1000000).cast("long").alias("mean_ppm"),
+        F.round(F.col("std_intensity") * 1000000).cast("long").alias("std_ppm"),
+    )
+
+
+def audio_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    feats = audio_features(synth_audio_assets(_doc_ids(spark, sf_dir)))
+    return feats.select(
+        F.col("asset_id").alias("id"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.round(F.col("rms") * 1000000).cast("long").alias("rms_ppm"),
+    )
+
+
+def frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    frames = frame_sample(
+        synth_video_assets(_doc_ids(spark, sf_dir)),
+        every_k=VID_EVERY_K,
+        frame_bytes=VID_FRAME_BYTES,
+    )
+    # head byte of each kept frame is arithmetic in (doc_id, frame_no) —
+    # the oracle recomputes it, so the gate checks sampling AND content
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def head_byte(fr: pd.Series) -> pd.Series:
+        return fr.map(lambda b: int(b[0]) if len(b) else -1)
+
+    return frames.groupBy(F.col("asset_id").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("frame_no").cast("long").alias("frame_no_sum"),
+        F.sum(head_byte(F.col("frame"))).cast("long").alias("head_byte_sum"),
+    )

@@ -214,3 +214,99 @@ WHERE CAST(ROUND(list_dot_product(a.emb, b.emb)
     / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
     * 1000000) AS BIGINT) >= {NEARDUP_THRESHOLD_PPM}
 """
+
+
+# ---- multimodal gate oracles (constants shared with functions/multimodal) --
+
+
+def image_features_sql() -> str:
+    """Twin of multimodal.image_features_query over synth_image_assets:
+    dimensions + exact-integer-sum mean/std of the arithmetic pixels.
+    Mean/std use SUM/COUNT (exact int sum, one double division) in the
+    SAME op order as the numpy segment reduction, so ppm quanta agree."""
+    from .multimodal import (
+        IMG_CHANNELS,
+        IMG_H_BASE,
+        IMG_H_MOD,
+        IMG_PX_A,
+        IMG_PX_B,
+        IMG_W_BASE,
+        IMG_W_MOD,
+    )
+
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT doc_id,
+         {IMG_W_BASE} + doc_id % {IMG_W_MOD} AS w,
+         {IMG_H_BASE} + doc_id % {IMG_H_MOD} AS h
+  FROM documents),
+px AS MATERIALIZED (
+  SELECT doc_id, w, h, (doc_id*{IMG_PX_A} + i*{IMG_PX_B}) % 256 AS v
+  FROM (SELECT doc_id, w, h,
+               unnest(generate_series(0, w*h*{IMG_CHANNELS} - 1)) AS i
+        FROM p))
+SELECT doc_id AS id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST({IMG_CHANNELS} AS BIGINT) AS channels,
+       CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(*) * 1000000) AS BIGINT) AS mean_ppm,
+       CAST(ROUND(SQRT(CAST(SUM(v*v) AS DOUBLE)/COUNT(*)
+            - (CAST(SUM(v) AS DOUBLE)/COUNT(*)) * (CAST(SUM(v) AS DOUBLE)/COUNT(*)))
+            * 1000000) AS BIGINT) AS std_ppm
+FROM px GROUP BY doc_id, w, h
+"""
+
+
+def audio_features_sql() -> str:
+    from .multimodal import (
+        AUD_N_BASE,
+        AUD_N_MOD,
+        AUD_S_A,
+        AUD_S_B,
+        AUD_S_MOD,
+        AUD_S_OFF,
+        AUD_SR_BASE,
+        AUD_SR_MOD,
+        AUD_SR_STEP,
+    )
+
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT doc_id,
+         {AUD_SR_BASE} + (doc_id % {AUD_SR_MOD}) * {AUD_SR_STEP} AS sr,
+         {AUD_N_BASE} + doc_id % {AUD_N_MOD} AS n
+  FROM documents),
+sx AS MATERIALIZED (
+  SELECT doc_id, sr, n,
+         (doc_id*{AUD_S_A} + i*{AUD_S_B}) % {AUD_S_MOD} - {AUD_S_OFF} AS x
+  FROM (SELECT doc_id, sr, n, unnest(generate_series(0, n - 1)) AS i FROM p))
+SELECT doc_id AS id,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(ROUND(SQRT(CAST(SUM(x*x) AS DOUBLE)/COUNT(*)) * 1000000) AS BIGINT) AS rms_ppm
+FROM sx GROUP BY doc_id, sr, n
+"""
+
+
+def frame_sample_sql() -> str:
+    from .multimodal import (
+        VID_B_A,
+        VID_B_B,
+        VID_EVERY_K,
+        VID_FRAME_BYTES,
+        VID_NF_MOD,
+    )
+
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT doc_id, 1 + doc_id % {VID_NF_MOD} AS nf FROM documents),
+k AS MATERIALIZED (
+  SELECT doc_id, f FROM (
+    SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f FROM p)
+  WHERE f % {VID_EVERY_K} = 0)
+SELECT doc_id AS id,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(f) AS BIGINT) AS frame_no_sum,
+       CAST(SUM((doc_id*{VID_B_A} + f*{VID_FRAME_BYTES}*{VID_B_B}) % 256) AS BIGINT) AS head_byte_sum
+FROM k GROUP BY doc_id
+"""
