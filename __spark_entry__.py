@@ -64,6 +64,12 @@ def q_tc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(events_edges(spark, sf_dir))
 
 
+def q_tpv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geminigraph_spark.functions.graph_algos import triangles_per_vertex
+
+    return triangles_per_vertex(events_edges(spark, sf_dir))
+
+
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ppm(
         sssp(weighted_events_edges(spark, sf_dir), root=0), "dist", "dist_ppm"
@@ -107,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc": q_cc,
         "label_propagation": q_lp,
         "triangle_count": q_tc,
+        "triangles_per_vertex": q_tpv,
         "sssp": q_sssp,
         "bfs": q_bfs,
         "bc": q_bc,
@@ -159,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "cc": S.cc_sql(iters=25),
         "label_propagation": S.lp_sql(iters=5),
         "triangle_count": S.triangle_count_sql(),
+        "triangles_per_vertex": S.triangles_per_vertex_sql(),
         "sssp": S.sssp_sql(iters=25, root=0),
         "bfs": S.bfs_sql(iters=25, root=0),
         "bc": S.bc_sql(levels=10, root=0),

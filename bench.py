@@ -189,9 +189,10 @@ def run_scaling(sf_dir: str, cores_list: list[int]) -> dict:
     each; legs run highest-cores first so the shared graph is generated
     once at max parallelism and reused (generation is outside the timed
     region). Efficiency reported for every (N, 4N) pair present."""
-    shared = os.environ.get(
-        "SPARK_GRAFT_BENCH_SPILL", tempfile.mkdtemp(prefix="gemini_scale_")
-    )
+    shared = os.environ.get("SPARK_GRAFT_BENCH_SPILL")
+    own_spill = shared is None  # only delete dirs this process created
+    if own_spill:
+        shared = tempfile.mkdtemp(prefix="gemini_scale_")
     out = {}
     try:
         for n in sorted(cores_list, reverse=True):
@@ -209,8 +210,9 @@ def run_scaling(sf_dir: str, cores_list: list[int]) -> dict:
                 raise RuntimeError(f"bench subprocess failed: {p.stderr[-2000:]}")
             out[n] = json.loads(lines[-1])
     finally:
-        shutil.rmtree(shared, ignore_errors=True)
-        shutil.rmtree(shared + "_s", ignore_errors=True)
+        if own_spill:
+            shutil.rmtree(shared, ignore_errors=True)
+            shutil.rmtree(shared + "_s", ignore_errors=True)
     thr = {n: 1.0 / out[n]["value"] for n in out}
     pairs = {}
     for n in sorted(out):

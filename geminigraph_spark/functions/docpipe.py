@@ -157,11 +157,19 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact text dedup groups: representative = min doc_id."""
+    """Exact text dedup groups: representative = min doc_id.
+
+    Groups on sha2(text) so the shuffle key is 32 bytes, not a multi-KB
+    document body (hash-then-group; at 100 TB the shuffle would otherwise
+    carry the full corpus). SHA-256 collisions are beyond adversarial
+    reach for a dedup pipeline, so groups equal exact-text groups — the
+    DuckDB oracle groups on the raw text and the gate asserts agreement."""
     d = _docs(spark, sf_dir)
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
-    ).select("keep_id", "n_copies")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -136,6 +136,28 @@ FROM o e1 JOIN o e2 ON e1.hi = e2.lo JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.h
     )
 
 
+def triangles_per_vertex_sql() -> str:
+    """Per-corner triangle counts (stronger than the global count: checks
+    WHICH triangles were found, not just how many)."""
+    return (
+        _PRELUDE
+        + """
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst),
+deg AS MATERIALIZED (SELECT v, COUNT(*) AS c
+        FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+o AS MATERIALIZED (SELECT CASE WHEN (da.c < db.c) OR (da.c = db.c AND a < b) THEN a ELSE b END AS lo,
+             CASE WHEN (da.c < db.c) OR (da.c = db.c AND a < b) THEN b ELSE a END AS hi
+      FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v),
+tri AS MATERIALIZED (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+      FROM o e1 JOIN o e2 ON e1.hi = e2.lo JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+SELECT v AS id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+  SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri UNION ALL SELECT z AS v FROM tri
+) GROUP BY v
+"""
+    )
+
+
 def sssp_sql(iters: int = 25, root: int = 0) -> str:
     parts = [
         f"""WITH wedges AS MATERIALIZED ({WEIGHTED_EDGES_SQL}),
