@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": D.lang_id,
         "doc_fingerprint": D.doc_fingerprint,
         "dedup_exact": D.dedup_exact,
+        "jaccard_ngram": D.jaccard_ngram,
         "minhash_signatures": D.minhash_signatures,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "simhash": D.simhash,
@@ -175,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SD.lang_id_sql(),
         "doc_fingerprint": SD.doc_fingerprint_sql(),
         "dedup_exact": SD.dedup_exact_sql(),
+        "jaccard_ngram": SD.jaccard_ngram_sql(),
         "minhash_signatures": SD.minhash_signatures_sql(),
         "dedup_minhash_lsh": SD.dedup_minhash_lsh_sql(),
         "simhash": SD.simhash_sql(),

@@ -190,6 +190,46 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.distinct()
 
 
+JACCARD_PAIR_STRIDE = 7  # exact-jaccard gate pairs: (doc_id, doc_id+7)
+
+
+def jaccard_ngram(
+    spark: SparkSession, sf_dir: str, stride: int = JACCARD_PAIR_STRIDE
+) -> DataFrame:
+    """Exact token-3-gram-shingle Jaccard over a deterministic linear pair
+    sample (a, a+stride) — the standalone exact-similarity operator (the
+    LSH dedup uses the same measure on candidate pairs only). The pair
+    space is O(|docs|) by construction; at scale the intersection join is
+    a plain shuffle join on (pair, shingle). Returns (a, b, jaccard_ppm)
+    for every pair where both docs have ≥1 shingle."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.select((F.col("doc_id") - stride).alias("doc_id"), "tok").alias("y"),
+            ["doc_id", "tok"],
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+        .withColumnRenamed("doc_id", "a")
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(
+        (F.col("doc_id") - stride).alias("a"),
+        F.col("doc_id").alias("b"),
+        F.col("sz").alias("szb"),
+    )
+    j = F.coalesce(F.col("i"), F.lit(0)) / (
+        F.col("sza") + F.col("szb") - F.coalesce(F.col("i"), F.lit(0))
+    )
+    return (
+        sa.join(sb, "a")
+        .join(inter, "a", "left")
+        .select("a", "b", F.round(j * 1000000).cast("long").alias("jaccard_ppm"))
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, i, sig): k=8 minhash over the distinct shingle set with
     the fixed (a, b) family on vocab-ranked shingle ids."""

@@ -310,3 +310,21 @@ SELECT doc_id AS id,
        CAST(SUM((doc_id*{VID_B_A} + f*{VID_FRAME_BYTES}*{VID_B_B}) % 256) AS BIGINT) AS head_byte_sum
 FROM k GROUP BY doc_id
 """
+
+
+def jaccard_ngram_sql() -> str:
+    from .docpipe import JACCARD_PAIR_STRIDE as S
+
+    return f"""
+WITH {_TOKS},
+{_SHINGLES},
+sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT x.doc_id AS a, COUNT(*) AS i
+  FROM sh x JOIN sh y ON y.doc_id = x.doc_id + {S} AND y.tok = x.tok
+  GROUP BY x.doc_id)
+SELECT sa.doc_id AS a, sb.doc_id AS b,
+       CAST(ROUND(COALESCE(i, 0)/(sa.c + sb.c - COALESCE(i, 0)) * 1000000) AS BIGINT) AS jaccard_ppm
+FROM sz sa JOIN sz sb ON sb.doc_id = sa.doc_id + {S}
+LEFT JOIN inter ON inter.a = sa.doc_id
+"""
