@@ -64,6 +64,85 @@ def start_edge_ingest(
     )
 
 
+def start_streaming_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    out_table: str = "stream_dedup",
+):
+    """Custom stateful operator via ``applyInPandasWithState``: exact
+    content dedup ACROSS micro-batches. Key = sha256(html); per-key state
+    remembers whether the content hash has been emitted and how many
+    duplicates arrived since. Each hash is emitted exactly once over the
+    stream's lifetime (first-seen url wins, ties within a batch broken by
+    url), with a running duplicate count on re-observation.
+
+    This is the streaming twin of docpipe.dedup_exact (hash-then-group);
+    state is Spark's HDFS-backed state store — per-key, partitioned by
+    the hash, so it scales horizontally like any keyed state."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    pages = stream_pages(spark, landing_dir).select(
+        F.sha2(F.col("html").cast("string"), 256).alias("h"), "url"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("h", T.StringType(), False),
+            T.StructField("first_url", T.StringType(), False),
+            T.StructField("n_copies", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("first_url", T.StringType(), False),
+            T.StructField("n_copies", T.LongType(), False),
+        ]
+    )
+
+    def dedup(key, pdfs, state: GroupState):
+        n_batch = 0
+        first_url = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n_batch += len(pdf)
+            best = pdf["url"].min()
+            if first_url is None or best < first_url:
+                first_url = best
+        if n_batch == 0:
+            return
+        if state.exists:
+            prev_url, prev_n = state.get
+            state.update((prev_url, prev_n + n_batch))
+            yield pd.DataFrame(
+                {"h": [key[0]], "first_url": [prev_url], "n_copies": [prev_n + n_batch]}
+            )
+        else:
+            state.update((first_url, n_batch))
+            yield pd.DataFrame(
+                {"h": [key[0]], "first_url": [first_url], "n_copies": [n_batch]}
+            )
+
+    deduped = pages.groupBy("h").applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        deduped.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def link_rate_query(
     spark: SparkSession,
     landing_dir: str,

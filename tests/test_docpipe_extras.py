@@ -117,3 +117,37 @@ def test_streaming_ingest(spark, tmp_path):
     # exactly one minute of warc_ts (60 pages, 1s apart) so at least the
     # stream ran and produced a table
     assert "minute" in rate.columns
+
+
+def test_streaming_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: each content hash is
+    emitted once per observation with an accumulating duplicate count;
+    the final per-hash count equals the hash's total multiplicity across
+    ALL micro-batches (state survives batch boundaries)."""
+    from geminigraph_spark.sources.pages_fixture import gen_pages_pandas
+    from geminigraph_spark.streaming.ingest import start_streaming_dedup
+
+    landing = str(tmp_path / "landing_dd")
+    pages = gen_pages_pandas(20)
+    # batch 0: pages 0..19; batch 1: pages 5..14 again (cross-batch dups)
+    spark.createDataFrame(pages.iloc[:20]).coalesce(1).write.parquet(landing + "/b0")
+    dup = pages.iloc[5:15].copy()
+    dup["url"] = "zz-" + dup["url"]  # same html → same hash, later url
+    spark.createDataFrame(dup).coalesce(1).write.parquet(landing + "/b1")
+
+    q = start_streaming_dedup(
+        spark, landing + "/*", str(tmp_path / "ck_dd"), "dedup_t"
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from dedup_t").toPandas()
+    # update-mode memory sink keeps every emission; per hash the MAX
+    # n_copies is the final state, and first_url is state-stable
+    final = out.groupby("h").agg(
+        n=("n_copies", "max"), first_url=("first_url", "first"), k=("first_url", "nunique")
+    )
+    assert len(final) == 20  # 20 distinct html payloads
+    assert (final["k"] == 1).all()  # first-seen url never changes
+    assert int(final["n"].sum()) == 30  # 20 + 10 duplicates
+    assert (final["n"].sort_values().values[-10:] == 2).all()
+    # first-seen url wins: no winner carries the zz- prefix
+    assert not final["first_url"].str.startswith("zz-").any()
