@@ -99,6 +99,18 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(spark, sf_dir)
 
 
+def _ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geminigraph_spark.functions.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(spark, sf_dir)
+
+
+def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geminigraph_spark.functions.similarity import ivf_recall
+
+    return ivf_recall(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 20-iteration reference-semantics PageRank at sf0.001."""
     return pagerank(events_edges(spark, SF0001), iters=20)
@@ -134,6 +146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked quality gate (recall@3 vs cosine_topk ≥ 0.9)
         "ann_lsh_topk": _ann,
         "ann_recall": _ann_recall,
+        "ann_ivf_topk": _ivf,
+        "ivf_recall": _ivf_recall,
         # multimodal plumbing over deterministic synthetic binary assets
         "image_features": _mm_image,
         "audio_features": _mm_audio,
@@ -183,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": SD.cosine_topk_sql(),
         "embedding_neardup": SD.embedding_neardup_sql(),
         "ann_recall": _ann_recall_sql(),
+        "ivf_recall": _ann_recall_sql(),  # same contract: constant pass row
         "image_features": SD.image_features_sql(),
         "audio_features": SD.audio_features_sql(),
         "frame_sample": SD.frame_sample_sql(),

@@ -168,6 +168,143 @@ def ann_recall(
     )
 
 
+# ---------------------------------------------------------------- IVF ANN
+#: expected rows per inverted list (sizes the centroid count, like
+#: TARGET_BUCKET_ROWS sizes the LSH plane count)
+TARGET_LIST_ROWS = 64
+IVF_PROBES = 4  # inverted lists probed per query
+#: IVF's gate threshold is deliberately lower than LSH's: the synthetic
+#: embeddings are UNCLUSTERED (uniform random + weak label signal), the
+#: adversarial case for a coarse quantizer — true neighbors rarely share
+#: an inverted list, so sampled-centroid IVF tops out ~0.7 recall here
+#: while multi-table LSH (which needs no cluster structure) reaches 0.98.
+#: On real corpora (which cluster) the ordering typically reverses. The
+#: gate still pins the index against regressions.
+IVF_RECALL_THRESHOLD = 0.6
+
+
+def ivf_centroid_ids(n_rows: int, target: int = TARGET_LIST_ROWS) -> int:
+    """Sampling stride: every stride-th vec_id becomes a centroid, giving
+    K ≈ N/target lists of ≈ target rows."""
+    return max(2, int(round(n_rows / max(1, n_rows // max(1, target)))))
+
+
+def _ivf_assign_udf(cents: np.ndarray, top_p: int):
+    """UDF: per vector, the ids of its top_p nearest centroids (cosine),
+    one broadcast matrix multiply per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def assign(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.values).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cn.T  # (batch, K)
+        top = np.argsort(-sims, axis=1)[:, :top_p].astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign
+
+
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 20,
+    k: int = 3,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """(query_id, neighbor_id, rnk, sim_ppm) — approximate top-k via an
+    IVF (inverted-file) index: a deterministic sample of vectors serves
+    as the coarse quantizer (every stride-th vec_id — at real scale the
+    centroids come from k-means, but the index mechanics are identical);
+    each vector lands in its nearest centroid's list, each query probes
+    its ``n_probes`` nearest lists and brute-forces only those
+    candidates. Candidates/query ≈ n_probes · TARGET_LIST_ROWS —
+    independent of N; the list join is a shuffle join on list_id at
+    cluster scale. The complementary ANN family to ann_lsh_topk."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    stride = max(1, n // max(1, n // max(1, TARGET_LIST_ROWS)))
+    # driver-side centroid matrix: K ≈ N/128 rows — tiny relative to N,
+    # broadcast like any coarse quantizer
+    cents_pd = (
+        e.where(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .select("embedding")
+        .toPandas()
+    )
+    cents = np.stack(cents_pd["embedding"].values).astype(np.float64)
+
+    assign1 = _ivf_assign_udf(cents, 1)
+    cands = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.element_at(assign1(F.col("embedding")), 1).alias("list_id"),
+    )
+    assignP = _ivf_assign_udf(cents, n_probes)
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.explode(assignP(F.col("embedding"))).alias("list_id"),
+    )
+    from .docpipe import _cosine
+
+    sims = (
+        q.join(cands, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qe"), F.col("ce")) * 1e9).cast("long").alias("sim_q"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("sim_q").alias("sim_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round(F.col("sim_q") / 1000.0).cast("long").alias("sim_ppm"),
+        )
+    )
+
+
+def ivf_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 20,
+    k: int = 3,
+    threshold: float = IVF_RECALL_THRESHOLD,
+) -> DataFrame:
+    """Deterministic IVF quality gate — same contract as ann_recall."""
+    from .docpipe import cosine_topk
+
+    exact = cosine_topk(spark, sf_dir, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_ivf_topk(spark, sf_dir, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    stats = exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+    )
+    return stats.select(
+        F.lit(n_queries).cast("long").alias("n_queries"),
+        F.lit(k).cast("long").alias("k"),
+        (F.col("n_hit") >= F.lit(threshold) * F.col("n_exact"))
+        .cast("long")
+        .alias("recall_pass"),
+    )
+
+
 def ann_recall_sql(n_queries: int = 20, k: int = 3) -> str:
     """DuckDB twin of ann_recall: the expected constant. The Spark side
     computes real recall; if the LSH index regresses below threshold the

@@ -31,6 +31,18 @@ def test_ann_recall_gate_row(spark):
     assert row["recall_pass"] == 1 and row["n_queries"] == 20
 
 
+def test_ivf_topk_and_recall_gate(spark):
+    """IVF index mechanics (coarse quantizer → inverted lists → probed
+    brute force) and its regression gate. Candidates/query is bounded by
+    n_probes·list size, so the pair space is independent of N."""
+    from geminigraph_spark.functions.similarity import ann_ivf_topk, ivf_recall
+
+    ap = ann_ivf_topk(spark, SF).toPandas()
+    assert len(ap) > 0 and (ap.groupby("query_id").size() <= 3).all()
+    row = ivf_recall(spark, SF).first()
+    assert row["recall_pass"] == 1
+
+
 def test_multimodal_image_roundtrip(spark):
     from geminigraph_spark.functions.multimodal import (
         encode_fake_image,
