@@ -183,12 +183,6 @@ IVF_PROBES = 4  # inverted lists probed per query
 IVF_RECALL_THRESHOLD = 0.6
 
 
-def ivf_centroid_ids(n_rows: int, target: int = TARGET_LIST_ROWS) -> int:
-    """Sampling stride: every stride-th vec_id becomes a centroid, giving
-    K ≈ N/target lists of ≈ target rows."""
-    return max(2, int(round(n_rows / max(1, n_rows // max(1, target)))))
-
-
 def _ivf_assign_udf(cents: np.ndarray, top_p: int):
     """UDF: per vector, the ids of its top_p nearest centroids (cosine),
     one broadcast matrix multiply per Arrow batch."""
