@@ -429,6 +429,17 @@ def bc_dataframe(
             ),
         )
         lv += 1
+    else:
+        # exhausting max_levels with a live frontier would leave deeper
+        # vertices at dep=0 (bc=-1.0) and silently truncate shallower
+        # dependencies — unlike bc_engine, which loops to completion
+        left = int(state.agg(F.sum(F.col("newly").cast("long"))).first()[0] or 0)
+        if left > 0:
+            raise RuntimeError(
+                f"bc_dataframe: forward BFS still has an active frontier "
+                f"({left} vertices) after max_levels={max_levels}; raise "
+                f"max_levels"
+            )
     maxd = lv - 1  # deepest populated level (frontier emptied at lv)
 
     # ---- backward: dependency sweep on the transpose (bc.cpp:121-176) -----

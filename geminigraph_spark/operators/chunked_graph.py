@@ -299,7 +299,7 @@ class ChunkedGraph:
         )
 
     # ------------------------------------------------------------ save/load
-    def save(self, out_dir: str) -> None:
+    def save(self, out_dir: str, derivation: str = "") -> None:
         """Persist the graph as a real table: the edge set written as
         parquet partitioned by ``dst_chunk`` with a src sort order within
         each partition (the Iceberg-compatible layout SURVEY §7.4 names —
@@ -307,7 +307,13 @@ class ChunkedGraph:
         core/graph.hpp:925-1121), plus a manifest with boundaries and the
         degree arrays. ``load`` rebuilds the ChunkedGraph from this with NO
         recomputation of degrees or boundaries and no edge shuffle (the
-        parquet partitioning IS the bucketing)."""
+        parquet partitioning IS the bucketing).
+
+        ``derivation`` records HOW the edge set was derived from the
+        logical input (e.g. "directed" / "symmetrized" / "weighted") so a
+        loader can refuse a table built for a different workload — a
+        symmetrized table silently changes pagerank/bfs results, an
+        unweighted one crashes sssp."""
         os.makedirs(out_dir, exist_ok=True)
         np.save(os.path.join(out_dir, "out_degree.npy"), self.out_degree)
         np.save(os.path.join(out_dir, "in_degree.npy"), self.in_degree)
@@ -319,6 +325,7 @@ class ChunkedGraph:
                     "n_edges": int(self.n_edges),
                     "n_chunks": int(self.n_chunks),
                     "weighted": bool(self.weighted),
+                    "derivation": derivation,
                 },
                 f,
             )
@@ -357,6 +364,7 @@ class ChunkedGraph:
         spark: SparkSession,
         in_dir: str,
         spill_dir: str | None = None,
+        expect_derivation: str | None = None,
     ) -> "ChunkedGraph":
         """Rebuild from ``save`` output: boundaries + degrees come from the
         manifest (zero recompute); chunk spill arrays are re-packed with a
@@ -367,9 +375,22 @@ class ChunkedGraph:
         t0 = time.time()
         with open(os.path.join(in_dir, "manifest.json")) as f:
             meta = json.load(f)
+        saved_deriv = meta.get("derivation", "")
+        if (
+            expect_derivation is not None
+            and saved_deriv
+            and saved_deriv != expect_derivation
+        ):
+            raise ValueError(
+                f"graph table at {in_dir} was saved with edge derivation "
+                f"{saved_deriv!r} but this workload needs "
+                f"{expect_derivation!r}; rebuild with a per-derivation "
+                f"--graph-table path"
+            )
         b = np.load(os.path.join(in_dir, "boundaries.npy"))
         out_degree = np.load(os.path.join(in_dir, "out_degree.npy"))
         in_degree = np.load(os.path.join(in_dir, "in_degree.npy"))
+        owns = spill_dir is None
         if spill_dir is None:
             spill_dir = tempfile.mkdtemp(prefix="gemini_chunks_")
         os.makedirs(spill_dir, exist_ok=True)
@@ -396,6 +417,8 @@ class ChunkedGraph:
             chunks=chunks,
             spill_dir=spill_dir,
             weighted=bool(meta["weighted"]),
+            # a caller-provided spill_dir is not ours to rmtree on unpersist
+            owns_spill=owns,
             build_meta={"load_s": time.time() - t0, "chunk_rows": int(n_chunk_rows)},
         )
 

@@ -71,11 +71,15 @@ def start_streaming_dedup(
     out_table: str = "stream_dedup",
 ):
     """Custom stateful operator via ``applyInPandasWithState``: exact
-    content dedup ACROSS micro-batches. Key = sha256(html); per-key state
-    remembers whether the content hash has been emitted and how many
-    duplicates arrived since. Each hash is emitted exactly once over the
-    stream's lifetime (first-seen url wins, ties within a batch broken by
-    url), with a running duplicate count on re-observation.
+    content dedup ACROSS micro-batches. Key = sha256 of the raw ``html``
+    bytes (sha2 takes BinaryType directly — no lossy binary→string cast,
+    so distinct non-UTF-8 payloads can never collapse); per-key state
+    remembers the first-seen url (ties within a batch broken by url) and
+    the running copy count. Every micro-batch that observes a hash
+    re-emits one row for it with the updated running count — update-mode
+    semantics, so sink consumers must reduce per key (e.g. take the row
+    with max ``n_copies`` per ``h``); the memory sink used in tests
+    appends all emissions.
 
     This is the streaming twin of docpipe.dedup_exact (hash-then-group);
     state is Spark's HDFS-backed state store — per-key, partitioned by
@@ -85,7 +89,7 @@ def start_streaming_dedup(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     pages = stream_pages(spark, landing_dir).select(
-        F.sha2(F.col("html").cast("string"), 256).alias("h"), "url"
+        F.sha2(F.col("html"), 256).alias("h"), "url"
     )
 
     out_schema = T.StructType(

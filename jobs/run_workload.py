@@ -119,14 +119,20 @@ def main() -> int:
         )
     import os
 
+    # the saved table bakes in the workload-specific edge derivation —
+    # record it on save, validate on load (a symmetrized table silently
+    # corrupts pagerank/bfs; an unweighted one crashes sssp)
+    derivation = (
+        "symmetrized" if sym_needed else ("weighted" if weighted else "directed")
+    )
     if args.graph_table and os.path.exists(
         os.path.join(args.graph_table, "manifest.json")
     ):
-        g = ChunkedGraph.load(spark, args.graph_table)
+        g = ChunkedGraph.load(spark, args.graph_table, expect_derivation=derivation)
     else:
         g = ChunkedGraph.build(spark, e, n_chunks=n_chunks, weighted=weighted)
         if args.graph_table:
-            g.save(args.graph_table)
+            g.save(args.graph_table, derivation=derivation)
 
     start, start_iter = None, 0
     if args.resume and store is not None:

@@ -163,3 +163,31 @@ def test_streaming_dedup_stateful(spark, tmp_path):
     assert (final["n"].sort_values().values[-10:] == 2).all()
     # first-seen url wins: no winner carries the zz- prefix
     assert not final["first_url"].str.startswith("zz-").any()
+
+
+def test_streaming_dedup_hashes_raw_bytes(spark, tmp_path):
+    """VERDICT r2 #2: payloads differing only in invalid-UTF-8 bytes must
+    NOT collapse — sha2 must hash the raw binary, not a lossy string cast
+    (both b"x\\xffy" and b"x\\xfey" cast to "x\\ufffdy")."""
+    from geminigraph_spark.streaming.ingest import start_streaming_dedup
+
+    landing = str(tmp_path / "landing_bin")
+    ts = pd.Timestamp("2026-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "url": ["http://a/1", "http://a/2", "http://a/3"],
+            "warc_ts": [ts, ts, ts],
+            "html": [b"x\xffy", b"x\xfey", b"x\xffy"],
+            "text": ["", "", ""],
+            "lang": ["en", "en", "en"],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(landing + "/b0")
+    q = start_streaming_dedup(
+        spark, landing + "/*", str(tmp_path / "ck_bin"), "dedup_bin_t"
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from dedup_bin_t").toPandas()
+    final = out.groupby("h")["n_copies"].max()
+    assert len(final) == 2  # distinct raw bytes → distinct hashes
+    assert sorted(final.values) == [1, 2]  # the \xff payload appears twice

@@ -270,3 +270,28 @@ def test_bc_engine_matches_oracle(spark, built, tmp_path):
     want = O.bc_ref(src, dst, n, root=root)
     got, _ = bc_engine(g, gt, root=root)
     assert np.allclose(got, want, atol=1e-9)
+
+
+def test_load_validates_derivation_and_spill_ownership(spark, built, tmp_path):
+    """ADVICE r2: a persisted graph table bakes in its edge derivation —
+    loading it for a workload that needs a different derivation must error,
+    and unpersist() must never rmtree a caller-provided spill dir."""
+    import os
+
+    src, dst, w, n, g, sym, wg = built
+    d = str(tmp_path / "gt_deriv")
+    g.save(d, derivation="directed")
+    with pytest.raises(ValueError, match="derivation"):
+        ChunkedGraph.load(spark, d, expect_derivation="symmetrized")
+
+    sp = tmp_path / "spill_owned_by_caller"
+    g2 = ChunkedGraph.load(spark, d, spill_dir=str(sp), expect_derivation="directed")
+    assert g2.owns_spill is False
+    g2.unpersist()
+    assert sp.is_dir()  # caller-provided dir survives unpersist
+
+    g3 = ChunkedGraph.load(spark, d)
+    assert g3.owns_spill is True
+    spill3 = g3.spill_dir
+    g3.unpersist()
+    assert not os.path.isdir(spill3)  # engine-created temp dir is cleaned

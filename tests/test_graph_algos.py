@@ -157,3 +157,16 @@ def test_bfs_depths_match(spark, g):
     got = bfs_depths(df, root=int(src[0])).toPandas()
     for _, row in got.iterrows():
         assert want[int(row["id"])] == int(row["depth"])
+
+
+def test_bc_dataframe_raises_on_max_levels_exhaustion(spark):
+    """ADVICE r2: exhausting max_levels with a live frontier must raise
+    (silent truncation yields bc=-1.0 for unreached-deep vertices)."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="max_levels"):
+        bc_dataframe(edges, root=0, max_levels=2)
+    # exactly enough levels is NOT an error
+    out = bc_dataframe(edges, root=0, max_levels=4).toPandas()
+    assert len(out) == 4
