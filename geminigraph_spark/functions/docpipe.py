@@ -344,7 +344,12 @@ def _cosine(a, b):
 def cosine_topk(spark: SparkSession, sf_dir: str, n_queries: int = 20, k: int = 3) -> DataFrame:
     """Brute-force cosine top-k: queries = vec_id < n_queries vs all
     others. Rank order quantized to 1e-9 for engine-neutral determinism."""
-    e = _emb(spark, sf_dir)
+    return cosine_topk_df(_emb(spark, sf_dir), n_queries, k)
+
+
+def cosine_topk_df(e: DataFrame, n_queries: int = 20, k: int = 3) -> DataFrame:
+    """cosine_topk over an arbitrary (vec_id, embedding) DataFrame — the
+    exact baseline the ANN recall gates compare against."""
     q = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
