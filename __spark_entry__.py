@@ -52,6 +52,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ppm(pagerank(events_edges(spark, sf_dir), iters=20), "rank", "rank_ppm")
 
 
+def q_pagerank_redistributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textbook power iteration: dangling mass redistributed uniformly
+    (the default drops it, matching the reference — pagerank.cpp:77-97)."""
+    return _ppm(
+        pagerank(events_edges(spark, sf_dir), iters=20, redistribute_dangling=True),
+        "rank",
+        "rank_ppm",
+    )
+
+
 def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(events_edges(spark, sf_dir))
 
@@ -128,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_table": q_edge_table,
         "degrees": q_degrees,
         "pagerank": q_pagerank,
+        "pagerank_redistributed": q_pagerank_redistributed,
         "cc": q_cc,
         "label_propagation": q_lp,
         "triangle_count": q_tc,
@@ -187,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_table": S.edge_table_sql(),
         "degrees": S.degrees_sql(),
         "pagerank": S.pagerank_sql(iters=20),
+        "pagerank_redistributed": S.pagerank_redistributed_sql(iters=20),
         "cc": S.cc_sql(iters=25),
         "label_propagation": S.lp_sql(iters=5),
         "triangle_count": S.triangle_count_sql(),

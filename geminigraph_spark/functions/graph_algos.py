@@ -87,10 +87,18 @@ def pagerank(
     checkpoint: Checkpointer = _default_ckpt,
     start: DataFrame | None = None,
     start_iter: int = 0,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Reference PageRank recurrence (toolkits/pagerank.cpp:24-99):
     state pre-divided by out-degree between iterations, final iteration
-    undivided, dangling mass dropped. Returns (id long, rank double).
+    undivided. Returns (id long, rank double).
+
+    Dangling mass: the reference DROPS it (pagerank.cpp:77-97 — sinks
+    receive (1-d) and their accumulated rank leaves the system), and that
+    is the default here so scores match the reference exactly. The
+    textbook power-iteration reading (BASELINE north_star) REDISTRIBUTES
+    it: ``redistribute_dangling=True`` adds Σ_{{outd=0}} rank / |V| to
+    every vertex's incoming sum — one extra aggregate per iteration.
 
     ``start``/``start_iter`` resume from a checkpointed state (id, rank).
     """
@@ -100,7 +108,7 @@ def pagerank(
         F.sum("cnt").cast("double").alias("outd")
     )
     base = verts.join(deg, "id", "left").fillna(0.0, subset=["outd"]).persist()
-    base.count()
+    n_verts = base.count()
 
     if start is not None:
         curr = start.select("id", F.col("rank").alias("r"))
@@ -114,13 +122,24 @@ def pagerank(
         curr = checkpoint(-1, curr)
 
     for i in range(start_iter, iters):
+        dm = 0.0
+        if redistribute_dangling:
+            # dangling vertices are undivided, so their r IS their rank
+            dm = (
+                curr.join(base.where(F.col("outd") == 0.0).select("id"), "id")
+                .agg(F.sum("r"))
+                .first()[0]
+                or 0.0
+            )
         msgs = (
             ew.join(curr.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("r") * F.col("cnt")).alias("s"))
             .withColumnRenamed("dst", "id")
         )
-        val = F.lit(1.0 - d) + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0))
+        val = F.lit(1.0 - d) + F.lit(d) * (
+            F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n_verts)
+        )
         if i != iters - 1:
             r = F.when(F.col("outd") > 0, val / F.col("outd")).otherwise(val)
         else:

@@ -38,6 +38,27 @@ def pagerank_ref(
     return curr
 
 
+def pagerank_redist_ref(
+    src: np.ndarray, dst: np.ndarray, n: int, iters: int = 20, d: float = 0.85
+) -> np.ndarray:
+    """pagerank_ref with textbook dangling-mass redistribution: each
+    iteration adds Σ_{dangling} rank / n to every vertex's incoming sum
+    (dangling state is undivided, so curr[~nz] IS the dangling rank)."""
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    curr = np.ones(n, dtype=np.float64)
+    nz = outdeg > 0
+    curr[nz] /= outdeg[nz]
+    for i in range(iters):
+        dm = float(curr[~nz].sum())
+        nxt = np.zeros(n, dtype=np.float64)
+        np.add.at(nxt, dst, curr[src])
+        nxt = (1.0 - d) + d * (nxt + dm / n)
+        if i != iters - 1:
+            nxt[nz] /= outdeg[nz]
+        curr = nxt
+    return curr
+
+
 def symmetrize(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Non-deduping symmetrization (graph.hpp:572-587): every edge also
     reversed; parallel edges preserved."""

@@ -73,6 +73,49 @@ s{k} AS MATERIALIZED (SELECT verts.v, {expr} AS r
     return "".join(parts)
 
 
+def pagerank_redistributed_sql(iters: int = 20, d: float = 0.85) -> str:
+    """pagerank_sql with textbook dangling-mass redistribution: each
+    iteration adds d·(Σ_{dangling} r)/|V| to every vertex's value (the
+    mass CTE mirrors the one extra aggregate the Spark kernel pays)."""
+    parts = [
+        _PRELUDE
+        + """
+deg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS outd FROM edges GROUP BY src),
+nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+s0 AS MATERIALIZED (SELECT verts.v,
+              CASE WHEN COALESCE(deg.outd, 0) > 0 THEN 1.0/deg.outd ELSE 1.0 END AS r
+       FROM verts LEFT JOIN deg ON verts.v = deg.v)"""
+    ]
+    for k in range(1, iters + 1):
+        last = k == iters
+        # dangling vertices are undivided, so their r IS their rank
+        parts.append(
+            f""",
+dm{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.r), 0) AS m FROM s{k-1} p
+       LEFT JOIN deg ON p.v = deg.v WHERE COALESCE(deg.outd, 0) = 0)"""
+        )
+        val = f"({1.0 - d:.2f} + {d:.2f}*(COALESCE(m.s, 0) + dm{k}.m/nv.n))"
+        expr = (
+            val
+            if last
+            else f"CASE WHEN COALESCE(deg.outd, 0) > 0 THEN {val}/deg.outd ELSE {val} END"
+        )
+        parts.append(
+            f""",
+s{k} AS MATERIALIZED (SELECT verts.v, {expr} AS r
+       FROM verts
+       CROSS JOIN dm{k} CROSS JOIN nv
+       LEFT JOIN (SELECT e.dst AS v, SUM(p.r) AS s
+                  FROM edges e JOIN s{k-1} p ON e.src = p.v GROUP BY e.dst) m
+         ON verts.v = m.v
+       LEFT JOIN deg ON verts.v = deg.v)"""
+        )
+    parts.append(
+        f"\nSELECT v AS id, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_ppm FROM s{iters}"
+    )
+    return "".join(parts)
+
+
 def cc_sql(iters: int = 25) -> str:
     """HashMin unrolled over the symmetrized (deduped) graph."""
     parts = [

@@ -29,9 +29,13 @@ def pagerank_engine(
     on_state: StateHook | None = None,
     start: np.ndarray | None = None,
     start_iter: int = 0,
+    redistribute_dangling: bool = False,
 ) -> tuple[np.ndarray, VertexEngine]:
     """Reference recurrence (pagerank.cpp:24-99): pre-divided state,
-    undivided final iteration, dangling mass dropped."""
+    undivided final iteration, dangling mass dropped by default;
+    ``redistribute_dangling=True`` spreads Σ_{dangling} rank / |V| to
+    every vertex instead (textbook power iteration) — the mass sum is a
+    free numpy reduction on the driver-resident state."""
     eng = VertexEngine(graph)
     outd = graph.out_degree.astype(np.float64)
     nz = outd > 0
@@ -41,10 +45,11 @@ def pagerank_engine(
         curr = np.ones(graph.n_vertices, dtype=np.float64)
         curr[nz] /= outd[nz]
     for i in range(start_iter, iters):
+        dm = float(curr[~nz].sum()) if redistribute_dangling else 0.0
         ids, vals = eng.edge_aggregate(curr, "sum", iteration=i)
         nxt = np.zeros(graph.n_vertices, dtype=np.float64)
         nxt[ids] = vals
-        nxt = (1.0 - d) + d * nxt
+        nxt = (1.0 - d) + d * (nxt + dm / graph.n_vertices)
         if i != iters - 1:
             nxt[nz] /= outd[nz]
         curr = nxt

@@ -295,3 +295,12 @@ def test_load_validates_derivation_and_spill_ownership(spark, built, tmp_path):
     spill3 = g3.spill_dir
     g3.unpersist()
     assert not os.path.isdir(spill3)  # engine-created temp dir is cleaned
+
+
+def test_engine_pagerank_redistributed(spark, built):
+    """Engine twin of the redistribute_dangling flag — exact parity with
+    the numpy reference over the full dense vertex range."""
+    src, dst, w, n, g, sym, wg = built
+    want = O.pagerank_redist_ref(src, dst, n, iters=6)
+    got, _ = pagerank_engine(g, iters=6, redistribute_dangling=True)
+    assert np.allclose(got, want, atol=1e-12)

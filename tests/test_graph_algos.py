@@ -170,3 +170,33 @@ def test_bc_dataframe_raises_on_max_levels_exhaustion(spark):
     # exactly enough levels is NOT an error
     out = bc_dataframe(edges, root=0, max_levels=4).toPandas()
     assert len(out) == 4
+
+
+def test_pagerank_redistributed_matches_reference(spark, g):
+    """redistribute_dangling=True follows the textbook power iteration
+    (BASELINE north_star reading); compare against the numpy twin over the
+    SAME vertex set (absent vertices contribute dangling mass in a dense
+    world but don't exist in the DF world)."""
+    src, dst, n, df = g
+    present = np.zeros(n, dtype=bool)
+    present[src] = True
+    present[dst] = True
+    ids = np.flatnonzero(present)
+    remap = -np.ones(n, dtype=np.int64)
+    remap[ids] = np.arange(len(ids))
+    want = O.pagerank_redist_ref(remap[src], remap[dst], len(ids), iters=6)
+    got = _as_array(
+        pagerank(df, iters=6, redistribute_dangling=True), "id", "rank", n, np.nan
+    )
+    assert np.allclose(got[ids], want, atol=1e-9)
+    # on a graph WITH a dangling sink the two variants genuinely differ
+    sink = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src long, dst long"
+    )
+    red = _as_array(
+        pagerank(sink, iters=4, redistribute_dangling=True), "id", "rank", 3, np.nan
+    )
+    drop = _as_array(pagerank(sink, iters=4), "id", "rank", 3, np.nan)
+    s2, d2 = np.array([0, 1, 0]), np.array([1, 2, 2])
+    assert np.allclose(red, O.pagerank_redist_ref(s2, d2, 3, iters=4), atol=1e-9)
+    assert not np.allclose(red, drop, atol=1e-9)
