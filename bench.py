@@ -201,13 +201,16 @@ def _pipeline_section(spark, cores: int, sf_dir: str, q: dict, meta: dict) -> No
         )
         from geminigraph_spark.functions.graph_algos import pagerank as pr_df
 
+        # ckpt_interval=5: checkpoint every 5th superstep (resume replays
+        # ≤4) — cuts the eager per-iteration materialization jobs that
+        # dominated these legs in round 2
         _drain(spark)
         t0 = time.time()
-        pr_df(edges, iters=20).count()
+        pr_df(edges, iters=20, ckpt_interval=5).count()
         q["pipe_pagerank20_df"] = time.time() - t0
         _drain(spark)
         t0 = time.time()
-        cc_df(edges).count()
+        cc_df(edges, ckpt_interval=5).count()
         q["pipe_cc_df"] = time.time() - t0
     edges.unpersist()
 

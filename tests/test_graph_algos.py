@@ -200,3 +200,52 @@ def test_pagerank_redistributed_matches_reference(spark, g):
     s2, d2 = np.array([0, 1, 0]), np.array([1, 2, 2])
     assert np.allclose(red, O.pagerank_redist_ref(s2, d2, 3, iters=4), atol=1e-9)
     assert not np.allclose(red, drop, atol=1e-9)
+
+
+def test_ckpt_interval_identical_results_and_resume(spark, g):
+    """VERDICT r2 #6: ckpt_interval=5 checkpoints every 5th superstep only
+    (intermediates stay lazy/persisted) — results match the per-step
+    default to 1e-12, and resuming from an interval snapshot replays ≤4
+    supersteps to the same fixpoint."""
+    from pyspark.sql import functions as F
+
+    src, dst, n, df = g
+    want_pr = _as_array(pagerank(df, iters=8), "id", "rank", n, np.nan)
+    got_pr = _as_array(pagerank(df, iters=8, ckpt_interval=5), "id", "rank", n, np.nan)
+    m = ~np.isnan(want_pr)
+    # the k-step fused plan may re-associate float sums: allow last-ulp
+    assert np.allclose(want_pr[m], got_pr[m], atol=1e-12, rtol=0)
+
+    want_cc = connected_components(df).toPandas().sort_values("id")
+    got_cc = connected_components(df, ckpt_interval=5).toPandas().sort_values("id")
+    assert np.array_equal(want_cc["label"].values, got_cc["label"].values)
+
+    want_b = bfs_depths(df, root=0, ckpt_interval=4).toPandas().sort_values("id")
+    base_b = bfs_depths(df, root=0).toPandas().sort_values("id")
+    assert np.array_equal(want_b["depth"].values, base_b["depth"].values)
+
+    # resume: snapshots land only on checkpointed iterations; restart from
+    # the last one (replay ≤ interval−1) and match the straight run
+    snaps = {}
+
+    def grab(i, d):
+        out = d.localCheckpoint(eager=True)
+        snaps[i] = out
+        return out
+
+    pagerank(df, iters=8, ckpt_interval=5, checkpoint=grab)
+    ckpt_iters = [i for i in snaps if i >= 0]
+    assert ckpt_iters == [4, 7]  # every 5th step + the forced final
+    resumed = _as_array(
+        pagerank(
+            df,
+            iters=8,
+            start=snaps[4].select("id", F.col("r").alias("rank")),
+            start_iter=5,
+        ),
+        "id",
+        "rank",
+        n,
+        np.nan,
+    )
+    assert np.allclose(resumed[m], want_pr[m], atol=1e-12, rtol=0)
