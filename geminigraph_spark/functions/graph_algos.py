@@ -431,6 +431,8 @@ def bc_dataframe(
     max_levels: int = 200,
     checkpoint: Checkpointer = _default_ckpt,
     metrics: list[DFIterMetrics] | None = None,
+    on_phase_state: Callable[[str, int, DataFrame], None] | None = None,
+    start: tuple[str, int, DataFrame] | None = None,
 ) -> DataFrame:
     """Single-source Brandes betweenness with fully distributed state —
     the scale path for |V| beyond driver residency (the chunked
@@ -443,6 +445,13 @@ def bc_dataframe(
     with src/dst swapped), final (dep−inv)/inv per reached vertex, 0
     elsewhere. Both sweeps are frontier-restricted level traversals with
     the |E_active| < |E|/20 broadcast switch (graph.hpp:1508).
+
+    Resumable (the reference's dump/restore works for ANY vertex array,
+    graph.hpp:253-306): ``on_phase_state`` fires after every level with
+    ("fwd", lv, state(id, outd, ind, depth, sigma, newly)) or
+    ("bwd", back, state(id, ind, depth, inv, dep)); ``start`` is the
+    matching (phase, level, state_df) triple — level structure is rebuilt
+    from the depth column, so the state DF is the entire resume contract.
 
     Returns (id long, bc double).
     """
@@ -459,78 +468,95 @@ def bc_dataframe(
     )
 
     # ---- forward: depths + path counts σ (bc.cpp:48-101) ------------------
-    state = checkpoint(
-        -1,
-        verts.join(deg, "id", "left")
-        .fillna(0, subset=["outd", "ind"])
-        .select(
-            "id",
-            "outd",
-            "ind",
-            F.when(F.col("id") == root, F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("depth"),
-            F.when(F.col("id") == root, F.lit(1.0)).otherwise(F.lit(0.0)).alias("sigma"),
-            (F.col("id") == root).alias("newly"),
-        ),
-    )
-    lv = 0
-    for _ in range(max_levels):
-        stats = state.agg(
-            F.sum(F.col("newly").cast("long")).alias("nc"),
-            F.sum(F.when(F.col("newly"), F.col("outd")).otherwise(F.lit(0))).alias("ae"),
-        ).first()
-        n_new, ae = int(stats["nc"] or 0), int(stats["ae"] or 0)
-        if n_new == 0:
-            break
-        sparse = ae < n_edges / SPARSE_DENOM
-        if metrics is not None:
-            metrics.append(DFIterMetrics(lv, "sparse" if sparse else "dense", n_new, ae))
-        fr = state.where("newly").select(F.col("id").alias("src"), "sigma")
-        if sparse:
-            fr = F.broadcast(fr)
-        msgs = (
-            ew.join(fr, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("sigma") * F.col("cnt")).alias("m"))
-            .withColumnRenamed("dst", "id")
-        )
-        fresh = (F.col("depth") < 0) & F.col("m").isNotNull()
+    if start is not None and start[0] == "bwd":
+        lv = 0  # forward phase already snapshotted past; skipped entirely
+    elif start is not None and start[0] == "fwd":
+        # snapshot at fwd level L: frontier L processed, newly = depth L+1
+        state = checkpoint(-1, start[2])
+        lv = start[1] + 1
+    else:
         state = checkpoint(
-            lv,
-            state.join(msgs, "id", "left").select(
+            -1,
+            verts.join(deg, "id", "left")
+            .fillna(0, subset=["outd", "ind"])
+            .select(
                 "id",
                 "outd",
                 "ind",
-                F.when(fresh, F.lit(lv + 1)).otherwise(F.col("depth")).alias("depth"),
-                F.when(fresh, F.col("m")).otherwise(F.col("sigma")).alias("sigma"),
-                fresh.alias("newly"),
+                F.when(F.col("id") == root, F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("depth"),
+                F.when(F.col("id") == root, F.lit(1.0)).otherwise(F.lit(0.0)).alias("sigma"),
+                (F.col("id") == root).alias("newly"),
             ),
         )
-        lv += 1
-    else:
-        # exhausting max_levels with a live frontier would leave deeper
-        # vertices at dep=0 (bc=-1.0) and silently truncate shallower
-        # dependencies — unlike bc_engine, which loops to completion
-        left = int(state.agg(F.sum(F.col("newly").cast("long"))).first()[0] or 0)
-        if left > 0:
-            raise RuntimeError(
-                f"bc_dataframe: forward BFS still has an active frontier "
-                f"({left} vertices) after max_levels={max_levels}; raise "
-                f"max_levels"
+        lv = 0
+    if not (start is not None and start[0] == "bwd"):
+        for _ in range(max_levels):
+            stats = state.agg(
+                F.sum(F.col("newly").cast("long")).alias("nc"),
+                F.sum(F.when(F.col("newly"), F.col("outd")).otherwise(F.lit(0))).alias("ae"),
+            ).first()
+            n_new, ae = int(stats["nc"] or 0), int(stats["ae"] or 0)
+            if n_new == 0:
+                break
+            sparse = ae < n_edges / SPARSE_DENOM
+            if metrics is not None:
+                metrics.append(DFIterMetrics(lv, "sparse" if sparse else "dense", n_new, ae))
+            fr = state.where("newly").select(F.col("id").alias("src"), "sigma")
+            if sparse:
+                fr = F.broadcast(fr)
+            msgs = (
+                ew.join(fr, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("sigma") * F.col("cnt")).alias("m"))
+                .withColumnRenamed("dst", "id")
             )
-    maxd = lv - 1  # deepest populated level (frontier emptied at lv)
+            fresh = (F.col("depth") < 0) & F.col("m").isNotNull()
+            state = checkpoint(
+                lv,
+                state.join(msgs, "id", "left").select(
+                    "id",
+                    "outd",
+                    "ind",
+                    F.when(fresh, F.lit(lv + 1)).otherwise(F.col("depth")).alias("depth"),
+                    F.when(fresh, F.col("m")).otherwise(F.col("sigma")).alias("sigma"),
+                    fresh.alias("newly"),
+                ),
+            )
+            if on_phase_state is not None:
+                on_phase_state("fwd", lv, state)
+            lv += 1
+        else:
+            # exhausting max_levels with a live frontier would leave deeper
+            # vertices at dep=0 (bc=-1.0) and silently truncate shallower
+            # dependencies — unlike bc_engine, which loops to completion
+            left = int(state.agg(F.sum(F.col("newly").cast("long"))).first()[0] or 0)
+            if left > 0:
+                raise RuntimeError(
+                    f"bc_dataframe: forward BFS still has an active frontier "
+                    f"({left} vertices) after max_levels={max_levels}; raise "
+                    f"max_levels"
+                )
 
     # ---- backward: dependency sweep on the transpose (bc.cpp:121-176) -----
-    inv = F.when(F.col("depth") >= 0, F.lit(1.0) / F.col("sigma")).otherwise(F.lit(0.0))
-    state = checkpoint(
-        lv,
-        state.select(
-            "id",
-            "ind",
-            "depth",
-            inv.alias("inv"),
-            F.when(F.col("depth") == maxd, inv).otherwise(F.lit(0.0)).alias("dep"),
-        ),
-    )
+    if start is not None and start[0] == "bwd":
+        # snapshot at bwd level B: dep at depth==B already updated
+        state = checkpoint(-1, start[2])
+        maxd = int(state.agg(F.max("depth")).first()[0])
+        back0 = start[1] - 1
+    else:
+        maxd = lv - 1  # deepest populated level (frontier emptied at lv)
+        inv = F.when(F.col("depth") >= 0, F.lit(1.0) / F.col("sigma")).otherwise(F.lit(0.0))
+        state = checkpoint(
+            lv,
+            state.select(
+                "id",
+                "ind",
+                "depth",
+                inv.alias("inv"),
+                F.when(F.col("depth") == maxd, inv).otherwise(F.lit(0.0)).alias("dep"),
+            ),
+        )
+        back0 = maxd - 1
     # per-level frontier sizes in ONE pass (depths are final now)
     lvl = {
         int(r["depth"]): (int(r["nv"]), int(r["ae"]))
@@ -540,7 +566,7 @@ def bc_dataframe(
         .collect()
     }
     ewt = ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cnt")
-    for back in range(maxd - 1, -1, -1):
+    for back in range(back0, -1, -1):
         nv, ae = lvl.get(back + 1, (0, 0))
         sparse = ae < n_edges / SPARSE_DENOM
         if metrics is not None:
@@ -571,6 +597,8 @@ def bc_dataframe(
                 ).otherwise(F.col("dep")).alias("dep"),
             ),
         )
+        if on_phase_state is not None:
+            on_phase_state("bwd", back, state)
     ew.unpersist()
     return state.select(
         "id",

@@ -153,10 +153,16 @@ def sssp_engine(
     return dist, eng
 
 
+#: hook for two-phase kernels: (phase "fwd"|"bwd", level, named arrays)
+BCStateHook = Callable[[str, int, dict], None]
+
+
 def bc_engine(
     graph: ChunkedGraph,
     graph_t: ChunkedGraph,
     root: int = 0,
+    on_state: BCStateHook | None = None,
+    start: tuple[str, int, dict] | None = None,
 ) -> tuple[np.ndarray, VertexEngine]:
     """Single-source Brandes betweenness (toolkits/bc.cpp semantics,
     SURVEY §2.3 A5): forward BFS accumulating path counts on the directed
@@ -164,50 +170,74 @@ def bc_engine(
     O(1) ``transpose()``, graph.hpp:759-768, is here the second
     sort-order of the edge table: ``graph_t``). Deterministic.
 
+    Resumable like every other kernel (the reference's dump/restore works
+    for ANY vertex array, graph.hpp:253-306): ``on_state`` fires after
+    every level of both phases with ("fwd", lv, {depth, sigma}) /
+    ("bwd", back, {depth, sigma, dep}); ``start`` is the matching
+    (phase, level, arrays) triple — per-level frontiers are rebuilt from
+    the depth array, so no auxiliary state needs snapshotting.
+
     Returns dependencies: (dep−inv)/inv per reached vertex, 0 elsewhere.
     """
     eng = VertexEngine(graph)
     eng_t = VertexEngine(graph_t)
     n = graph.n_vertices
-    depth = np.full(n, -1, dtype=np.int64)
-    sigma = np.zeros(n, dtype=np.float64)
-    depth[root] = 0
-    sigma[root] = 1.0
-    frontier = np.zeros(n, dtype=bool)
-    frontier[root] = True
-    levels = [np.array([root], dtype=np.int64)]
-    lv = 0
-    while frontier.any():
-        ids, vals = eng.edge_aggregate(
-            sigma, "sum", frontier=frontier, iteration=lv,
-            dense_selective=depth < 0,
-        )
-        new_m = depth[ids] < 0
-        newly = ids[new_m]
-        depth[newly] = lv + 1
-        sigma[newly] = vals[new_m]
-        frontier = np.zeros(n, dtype=bool)
-        frontier[newly] = True
-        if len(newly):
-            levels.append(newly)
-        lv += 1
+
+    start_phase, start_level = "fwd", -1
+    if start is not None:
+        start_phase, start_level, arrs = start
+        depth = arrs["depth"].astype(np.int64).copy()
+        sigma = arrs["sigma"].astype(np.float64).copy()
+    else:
+        depth = np.full(n, -1, dtype=np.int64)
+        sigma = np.zeros(n, dtype=np.float64)
+        depth[root] = 0
+        sigma[root] = 1.0
+
+    if start_phase == "fwd":
+        # snapshot at fwd level L = frontier at depth L fully processed;
+        # resume by re-arming the depth==L+1 frontier
+        lv = start_level + 1
+        frontier = depth == lv
+        while frontier.any():
+            ids, vals = eng.edge_aggregate(
+                sigma, "sum", frontier=frontier, iteration=lv,
+                dense_selective=depth < 0,
+            )
+            new_m = depth[ids] < 0
+            newly = ids[new_m]
+            depth[newly] = lv + 1
+            sigma[newly] = vals[new_m]
+            frontier = np.zeros(n, dtype=bool)
+            frontier[newly] = True
+            if on_state is not None:
+                on_state("fwd", lv, {"depth": depth, "sigma": sigma})
+            lv += 1
 
     reached = depth >= 0
     inv = np.zeros(n, dtype=np.float64)
     inv[reached] = 1.0 / sigma[reached]
-    dep = np.zeros(n, dtype=np.float64)
-    maxd = len(levels) - 1
-    dep[levels[maxd]] = inv[levels[maxd]]
-    for back in range(maxd - 1, -1, -1):
-        frontier = np.zeros(n, dtype=bool)
-        frontier[levels[back + 1]] = True
+    maxd = int(depth[reached].max()) if reached.any() else 0
+    if start_phase == "bwd":
+        dep = arrs["dep"].astype(np.float64).copy()
+        back0 = start_level - 1  # snapshot at B = depth==B updated
+    else:
+        dep = np.zeros(n, dtype=np.float64)
+        deepest = depth == maxd
+        dep[deepest] = inv[deepest]
+        back0 = maxd - 1
+    for back in range(back0, -1, -1):
+        frontier = depth == back + 1
         ids, vals = eng_t.edge_aggregate(
             dep, "sum", frontier=frontier, iteration=maxd - back
         )
         sel_m = depth[ids] == back
         sel = ids[sel_m]
-        dep[levels[back]] = inv[levels[back]]
+        lvl_mask = depth == back
+        dep[lvl_mask] = inv[lvl_mask]
         dep[sel] += vals[sel_m]
+        if on_state is not None:
+            on_state("bwd", back, {"depth": depth, "sigma": sigma, "dep": dep})
     out = np.zeros(n, dtype=np.float64)
     out[reached] = (dep[reached] - inv[reached]) / inv[reached]
     return out, eng

@@ -17,9 +17,10 @@ warc_ts, html, text, lang → links are extracted + encoded) or --edges
 (pre-encoded parquet with src/dst long columns).
 
 Every iteration snapshots vertex state + metrics through
-plans.checkpoint.SnapshotStore (per-chunk lineage; see north_rule), so
-pagerank/cc/lp/sssp/bfs runs resume mid-computation with --resume
-(bc is two-phase with no snapshot hook and rejects --resume).
+plans.checkpoint.SnapshotStore (per-chunk lineage + monotonic snapshot
+ids; see north_rule), so ALL workloads — including two-phase bc, whose
+snapshots carry (depth, sigma[, dep]) plus a phase/level marker — resume
+mid-computation with --resume.
 """
 
 from __future__ import annotations
@@ -135,10 +136,7 @@ def main() -> int:
             g.save(args.graph_table, derivation=derivation)
 
     start, start_iter = None, 0
-    if args.resume and store is not None:
-        if args.workload == "bc":
-            ap.error("--resume is not supported for bc (two-phase kernel "
-                     "with no snapshot hook); rerun without --resume")
+    if args.resume and store is not None and args.workload != "bc":
         latest = store.latest()
         if latest is not None:
             start_iter, start = latest[0] + 1, latest[1]
@@ -168,14 +166,39 @@ def main() -> int:
             g, root=args.root, on_state=hook(g), start=start, start_iter=start_iter
         )
         col = "depth"
-    else:  # bc
+    else:  # bc — two-phase; snapshots carry named arrays + phase marker
+        import itertools
+
+        bc_start, next_idx = None, 0
+        if args.resume and store is not None:
+            entry = store.latest_entry()
+            if entry is not None:
+                _it, arrays, extra = store.restore(entry["snapshot_id"])
+                bc_start = (extra["phase"], extra["level"], arrays)
+                next_idx = entry["iteration"] + 1
+        counter = itertools.count(next_idx)
+
+        def bc_hook(phase, level, arrays):
+            store.save(
+                next(counter),
+                arrays,
+                g.boundaries,
+                extra={"phase": phase, "level": int(level)},
+            )
+
         gt = ChunkedGraph.build(
             spark,
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
             n_chunks=n_chunks,
             n_vertices=g.n_vertices,
         )
-        vals, eng = A.bc_engine(g, gt, root=args.root)
+        vals, eng = A.bc_engine(
+            g,
+            gt,
+            root=args.root,
+            on_state=bc_hook if store is not None else None,
+            start=bc_start,
+        )
         col = "bc"
 
     out = spark.createDataFrame(

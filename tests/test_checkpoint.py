@@ -72,3 +72,121 @@ def test_latest_skips_future(tmp_path, g):
     it, state = store.latest(before=2)
     assert it == 1
     assert (state == 1.0).all()
+
+
+def test_snapshot_ids_monotonic_and_time_travel(tmp_path, g):
+    """VERDICT r2 #4: Iceberg-style snapshot semantics, emulated
+    explicitly — monotonic snapshot ids with a parent chain, and
+    restore(snapshot_id) time-travels to any retained snapshot."""
+    store = SnapshotStore(str(tmp_path), "run_ids", "pagerank")
+    sids = [
+        store.save(i, np.full(g.n_vertices, float(i)), g.boundaries)
+        for i in range(4)
+    ]
+    assert sids == [1, 2, 3, 4]  # monotonic
+    log = store.snapshots()
+    assert [s["snapshot_id"] for s in log] == sids
+    assert [s["parent_id"] for s in log] == [0, 1, 2, 3]  # lineage chain
+    it, state, extra = store.restore(2)
+    assert it == 1 and (state == 1.0).all() and extra is None
+    with pytest.raises(KeyError):
+        store.restore(99)
+
+
+def test_snapshot_multi_array_roundtrip(tmp_path, g):
+    """Dict states (BC's depth/sigma/dep) persist as one parquet with one
+    column per array + extra metadata, and restore as the same dict."""
+    store = SnapshotStore(str(tmp_path), "run_multi", "bc")
+    n = g.n_vertices
+    depth = np.arange(n, dtype=np.int64) % 7 - 1
+    sigma = np.linspace(1, 2, n)
+    sid = store.save(
+        0, {"depth": depth, "sigma": sigma}, g.boundaries,
+        extra={"phase": "fwd", "level": 3},
+    )
+    it, state, extra = store.restore(sid)
+    assert it == 0 and extra == {"phase": "fwd", "level": 3}
+    assert np.array_equal(state["depth"], depth)
+    assert np.allclose(state["sigma"], sigma, atol=0)
+    it2, state2 = store.latest()
+    assert it2 == 0 and np.array_equal(state2["depth"], depth)
+
+
+def test_bc_engine_kill_resume_by_snapshot_id(spark, g, tmp_path):
+    """VERDICT r2 #5: Brandes BC resumes from a snapshot of EITHER phase
+    (depth/sigma[/dep] + phase marker) to the exact straight-run output —
+    the restore is driven by snapshot id."""
+    import numpy as np
+    from pyspark.sql import functions as SF
+
+    from geminigraph_spark.operators.algorithms import bc_engine
+
+    src, dst, n = _graph()
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(src, dst)], "src long, dst long"
+    )
+    gt = ChunkedGraph.build(
+        spark,
+        df.select(SF.col("dst").alias("src"), SF.col("src").alias("dst")),
+        n_chunks=4,
+        n_vertices=n,
+    )
+    root = int(src[0])
+    straight, _ = bc_engine(g, gt, root=root)
+
+    store = SnapshotStore(str(tmp_path), "bc_run", "bc")
+    idx = iter(range(1000))
+
+    class Crash(RuntimeError):
+        pass
+
+    crash_at = {"phase": None, "level": None}
+
+    def hook(phase, level, arrays):
+        store.save(
+            next(idx), arrays, g.boundaries,
+            extra={"phase": phase, "level": int(level)},
+        )
+        if (phase, level) == (crash_at["phase"], crash_at["level"]):
+            raise Crash()
+
+    # crash mid-FORWARD, resume by the latest snapshot id
+    crash_at.update(phase="fwd", level=1)
+    with pytest.raises(Crash):
+        bc_engine(g, gt, root=root, on_state=hook)
+    entry = store.latest_entry()
+    _it, arrays, extra = store.restore(entry["snapshot_id"])
+    assert extra == {"phase": "fwd", "level": 1}
+    resumed, _ = bc_engine(
+        g, gt, root=root, start=(extra["phase"], extra["level"], arrays)
+    )
+    assert np.allclose(resumed, straight, atol=0)
+
+    # crash mid-BACKWARD, resume by snapshot id
+    store2 = SnapshotStore(str(tmp_path), "bc_run2", "bc")
+
+    def hook2(phase, level, arrays):
+        store2.save(
+            next(idx), arrays, g.boundaries,
+            extra={"phase": phase, "level": int(level)},
+        )
+        if phase == "bwd" and level == crash_at["level"]:
+            raise Crash()
+
+    # pick a backward level that exists: deepest level - 1
+    maxd = 0
+    def depth_probe(phase, level, arrays):
+        nonlocal maxd
+        maxd = max(maxd, int(arrays["depth"].max()))
+    bc_engine(g, gt, root=root, on_state=depth_probe)
+    assert maxd >= 2
+    crash_at.update(phase="bwd", level=maxd - 2)
+    with pytest.raises(Crash):
+        bc_engine(g, gt, root=root, on_state=hook2)
+    entry2 = store2.latest_entry()
+    _it2, arrays2, extra2 = store2.restore(entry2["snapshot_id"])
+    assert extra2["phase"] == "bwd"
+    resumed2, _ = bc_engine(
+        g, gt, root=root, start=(extra2["phase"], extra2["level"], arrays2)
+    )
+    assert np.allclose(resumed2, straight, atol=0)

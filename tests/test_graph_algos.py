@@ -249,3 +249,33 @@ def test_ckpt_interval_identical_results_and_resume(spark, g):
         np.nan,
     )
     assert np.allclose(resumed[m], want_pr[m], atol=1e-12, rtol=0)
+
+
+def test_bc_dataframe_resume_both_phases(spark, g):
+    """VERDICT r2 #5 (DF path): bc_dataframe resumes from a phase-tagged
+    state snapshot of either sweep to the exact straight-run output."""
+    src, dst, n, df = g
+    root = int(src[0])
+    straight = _as_array(bc_dataframe(df, root=root), "id", "bc", n, 0.0)
+
+    snaps = []
+
+    def grab(phase, level, state):
+        snaps.append((phase, level, state))
+
+    bc_dataframe(df, root=root, on_phase_state=grab)
+    fwd_snaps = [s for s in snaps if s[0] == "fwd"]
+    bwd_snaps = [s for s in snaps if s[0] == "bwd"]
+    assert len(fwd_snaps) >= 2 and len(bwd_snaps) >= 2
+
+    # resume mid-forward (from the second forward snapshot)
+    resumed_f = _as_array(
+        bc_dataframe(df, root=root, start=fwd_snaps[1]), "id", "bc", n, 0.0
+    )
+    assert np.allclose(resumed_f, straight, atol=0)
+
+    # resume mid-backward (from the first backward snapshot taken)
+    resumed_b = _as_array(
+        bc_dataframe(df, root=root, start=bwd_snaps[0]), "id", "bc", n, 0.0
+    )
+    assert np.allclose(resumed_b, straight, atol=0)
