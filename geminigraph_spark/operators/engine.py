@@ -8,10 +8,16 @@ Re-expresses the reference's two dataflow primitives (core/graph.hpp:
   map + sum-reduce is a vectorized driver computation (the reference's
   work-stealing + MPI_Allreduce collapse into numpy reductions).
 - ``edge_aggregate`` — one Spark stage over the cached chunk-metadata
-  DataFrame: the per-vertex message vector reaches workers either as a
+  DataFrame: the per-superstep state reaches workers either as a
   page-cache-shared state file (local master: zero pickling, the
   analogue of Gemini's per-node state replicas) or a torrent broadcast
-  (cluster master); each chunk task aggregates into its local dst range
+  (cluster master). Sparse/push supersteps ship ONLY the frontier rows
+  (ids + values, O(|frontier|) bytes) on both transports — the long
+  fixpoint tail costs frontier-sized transport, not |V|; dense/pull
+  supersteps replicate the full vector, which is the reference's own
+  dense-mode state residency (graph.hpp:228-236) and by the adaptive
+  rule happens only on the few high-work supersteps. Each chunk task
+  aggregates into its local dst range
   with numpy ufuncs and returns ONE row per chunk with packed binary
   (ids, vals) arrays — Arrow ships a handful of big cells instead of
   millions of rows. Because chunks are dst-sharded, per-dst aggregation
@@ -78,22 +84,31 @@ def _mode_per_dst(dl: np.ndarray, labs: np.ndarray):
 
 def _load_state(transport: dict):
     """Worker-side: resolve (msg_vec, frontier, sparse, frontier_ids,
-    dense_selective)."""
+    dense_selective, frontier_vals).
+
+    ``frontier_vals`` non-None ⇒ COMPACT sparse shipment: only the
+    frontier rows of the state were transported (ids + values), not the
+    |V| vector — message lookup is fvals[searchsorted(fids, src)]."""
     if transport["kind"] == "bc":
         return transport["bc"].value
-    msg = np.load(transport["msg"], mmap_mode="r")
+    fids = (
+        np.load(transport["fids"], mmap_mode="r") if transport["fids"] else None
+    )
+    fvals = (
+        np.load(transport["fvals"], mmap_mode="r")
+        if transport.get("fvals")
+        else None
+    )
+    msg = np.load(transport["msg"], mmap_mode="r") if transport["msg"] else None
     fro = (
         np.load(transport["frontier"], mmap_mode="r")
         if transport["frontier"]
         else None
     )
-    fids = (
-        np.load(transport["fids"], mmap_mode="r") if transport["fids"] else None
-    )
     dsel = (
         np.load(transport["dsel"], mmap_mode="r") if transport.get("dsel") else None
     )
-    return msg, fro, transport["sparse"], fids, dsel
+    return msg, fro, transport["sparse"], fids, dsel, fvals
 
 
 def _make_task(combiner: str, val_dtype, msg_offset, transport: dict):
@@ -102,7 +117,17 @@ def _make_task(combiner: str, val_dtype, msg_offset, transport: dict):
     from .chunked_graph import load_chunk_arrays
 
     def task(batches):
-        msg_vec, frontier, sparse, frontier_ids, dense_sel = _load_state(transport)
+        msg_vec, frontier, sparse, frontier_ids, dense_sel, fvals = _load_state(
+            transport
+        )
+
+        def msg_of(srcs):
+            # compact sparse shipment: every selected src is a frontier id
+            if fvals is not None:
+                return np.asarray(fvals)[
+                    np.searchsorted(frontier_ids, srcs)
+                ]
+            return msg_vec[srcs]
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 begin, end = int(row.begin), int(row.end)
@@ -134,10 +159,10 @@ def _make_task(combiner: str, val_dtype, msg_offset, transport: dict):
                 size = end - begin
                 ids_b = None
                 if combiner == "mode":
-                    ids_l, vals = _mode_per_dst(dl, msg_vec[np.asarray(srcs)])
+                    ids_l, vals = _mode_per_dst(dl, msg_of(np.asarray(srcs)))
                     ids_b = (ids_l + begin).tobytes()
                 elif combiner == "sum":
-                    msgs = msg_vec[np.asarray(srcs)]
+                    msgs = msg_of(np.asarray(srcs))
                     if msg_offset == "w":
                         msgs = msgs + w
                     elif msg_offset:
@@ -151,7 +176,7 @@ def _make_task(combiner: str, val_dtype, msg_offset, transport: dict):
                         vals = acc[ids_l]
                         ids_b = (ids_l + begin).tobytes()
                 elif combiner == "min":
-                    msgs = msg_vec[np.asarray(srcs)]
+                    msgs = msg_of(np.asarray(srcs))
                     if msg_offset == "w":
                         msgs = msgs + w
                     elif msg_offset:
@@ -185,6 +210,7 @@ class IterationMetrics:
     active_edges: int
     wall_s: float
     processed_edges: int = -1  # measured inside tasks (post dense_selective)
+    bytes_shipped: int = -1  # state bytes sent to workers this superstep
 
 
 class VertexEngine:
@@ -218,22 +244,52 @@ class VertexEngine:
         return int(self.g.out_degree[active].sum())
 
     def _ship_state(self, msg_vec, frontier, sparse, frontier_ids, dense_sel=None):
+        """Ship the superstep state to workers. Sparse/push supersteps ship
+        ONLY the frontier rows — (frontier_ids, msg_vec[frontier_ids]),
+        O(|frontier|) bytes — because every message read in push mode comes
+        from a frontier vertex. Dense/pull supersteps replicate the full
+        state vector, which is the reference's own dense-mode layout (state
+        resident per node, graph.hpp:228-236); the adaptive rule guarantees
+        dense supersteps are the few high-work ones, so per-superstep
+        transport is O(frontier + chunk results) through the long tail.
+        Returns (transport, broadcast_handle, bytes_shipped)."""
+        compact = sparse and frontier_ids is not None
+        fvals = msg_vec[frontier_ids] if compact else None
+        nbytes = 0
+        for arr in (
+            (frontier_ids, fvals) if compact else (msg_vec, frontier, frontier_ids)
+        ):
+            if arr is not None:
+                nbytes += arr.nbytes
+        if dense_sel is not None:
+            nbytes += dense_sel.nbytes
         if self.transport == "bc":
-            bc = self.g.spark.sparkContext.broadcast(
-                (msg_vec, frontier, sparse, frontier_ids, dense_sel)
+            payload = (
+                (None, None, sparse, frontier_ids, None, fvals)
+                if compact
+                else (msg_vec, frontier, sparse, frontier_ids, dense_sel, None)
             )
-            return {"kind": "bc", "bc": bc}, bc
+            bc = self.g.spark.sparkContext.broadcast(payload)
+            return {"kind": "bc", "bc": bc}, bc, nbytes
         self._seq += 1
         base = os.path.join(self._state_dir, f"s{self._seq}")
-        np.save(base + ".msg.npy", msg_vec)
         t = {
             "kind": "file",
-            "msg": base + ".msg.npy",
+            "msg": "",
             "frontier": "",
             "fids": "",
+            "fvals": "",
             "dsel": "",
             "sparse": sparse,
         }
+        if compact:
+            np.save(base + ".fid.npy", frontier_ids)
+            t["fids"] = base + ".fid.npy"
+            np.save(base + ".fvl.npy", fvals)
+            t["fvals"] = base + ".fvl.npy"
+            return t, None, nbytes
+        np.save(base + ".msg.npy", msg_vec)
+        t["msg"] = base + ".msg.npy"
         if frontier is not None:
             np.save(base + ".fro.npy", frontier)
             t["frontier"] = base + ".fro.npy"
@@ -243,7 +299,7 @@ class VertexEngine:
         if dense_sel is not None:
             np.save(base + ".dsel.npy", dense_sel)
             t["dsel"] = base + ".dsel.npy"
-        return t, None
+        return t, None, nbytes
 
     # ---- V2: edge-centric aggregation (graph.hpp:1492-1866) --------------
     def edge_aggregate(
@@ -280,7 +336,7 @@ class VertexEngine:
             dense_selective = None
         val_dtype = np.float64 if msg_vec.dtype.kind == "f" else np.int64
 
-        transport, bc = self._ship_state(
+        transport, bc, bytes_shipped = self._ship_state(
             msg_vec, frontier, sparse, frontier_ids, dense_selective
         )
         try:
@@ -290,7 +346,7 @@ class VertexEngine:
             if bc is not None:
                 bc.destroy()
             if transport["kind"] == "file":
-                for key in ("msg", "frontier", "fids", "dsel"):
+                for key in ("msg", "frontier", "fids", "fvals", "dsel"):
                     p = transport.get(key)
                     if p:
                         try:
@@ -322,6 +378,7 @@ class VertexEngine:
                 active_edges=active_edges,
                 wall_s=time.time() - t0,
                 processed_edges=processed,
+                bytes_shipped=bytes_shipped,
             )
         )
         return out_ids, out_vals
