@@ -62,12 +62,12 @@ class _IntervalCkpt:
       PageRank): intermediate states are left fully lazy — the k-th
       checkpoint computes the k chained joins in ONE job.
     - ``lazy_chain=False`` (fixpoint kernels whose convergence aggregate
-      touches every new state): intermediate states are persist()-ed so
-      the aggregate's job doubles as the materialization; the *previous*
-      intermediate cache is dropped only after the caller signals the new
-      one is materialized (``materialized()``), so no step ever recomputes
-      more than the eviction path (≤ interval joins back to the last true
-      checkpoint)."""
+      touches every new state): intermediate states get a LAZY
+      localCheckpoint, so the aggregate's own job doubles as the
+      materialization (one job per superstep instead of two) and lineage
+      is still truncated every step; references to older intermediates
+      are dropped after the newer one materializes (``materialized()``)
+      so the ContextCleaner reaps their blocks."""
 
     def __init__(self, checkpoint: Checkpointer, interval: int, lazy_chain: bool):
         self.checkpoint = checkpoint
@@ -77,20 +77,25 @@ class _IntervalCkpt:
 
     def step(self, i: int, df: DataFrame, force: bool = False) -> DataFrame:
         if force or i < 0 or (i + 1) % self.interval == 0:
-            out = self.checkpoint(i, df)  # eager: safe to drop all caches
-            while self._pending:
-                self._pending.pop(0).unpersist()
+            out = self.checkpoint(i, df)  # eager: intermediates now dead
+            self._pending.clear()
             return out
         if self.lazy_chain:
             return df
-        out = df.persist()
+        # lazy localCheckpoint: materialized by the caller's convergence
+        # aggregate (ONE job — no separate eager materialization job),
+        # stored as raw RDD partitions with truncated lineage
+        out = df.localCheckpoint(eager=False)
         self._pending.append(out)
         return out
 
     def materialized(self) -> None:
-        """The newest pending frame is now cached; older ones are dead."""
+        """The newest pending frame is now stored; drop references to the
+        older ones — never explicitly unpersist a lineage-truncated frame
+        (its blocks are its only copy); the ContextCleaner reaps the
+        blocks once the RDD is unreferenced."""
         while len(self._pending) > 1:
-            self._pending.pop(0).unpersist()
+            self._pending.pop(0)
 
 
 def _vertices_of(edges: DataFrame) -> DataFrame:
@@ -309,15 +314,19 @@ def label_propagation(
     edges: DataFrame,
     iters: int = 10,
     checkpoint: Checkpointer = _default_ckpt,
+    ckpt_interval: int = 1,
 ) -> DataFrame:
     """Synchronous label propagation (SURVEY §2.3 A6): over the symmetrized
     multiset graph, new label = most frequent incoming label, ties broken
-    by smallest label; vertices with no incoming labels keep theirs."""
+    by smallest label; vertices with no incoming labels keep theirs.
+    No per-step aggregate ⇒ ``ckpt_interval`` steps chain lazily and the
+    k-th checkpoint runs them in one job (see _IntervalCkpt)."""
     from .edges import symmetrize_df
 
+    ck = _IntervalCkpt(checkpoint, ckpt_interval, lazy_chain=True)
     sym = _collapsed(symmetrize_df(edges)).persist()
     verts = _vertices_of(edges)
-    curr = checkpoint(-1, verts.select("id", F.col("id").alias("label")))
+    curr = ck.step(-1, verts.select("id", F.col("id").alias("label")))
     w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("lsrc").asc())
     for i in range(iters):
         counts = (
@@ -333,11 +342,12 @@ def label_propagation(
             .where(F.col("rn") == 1)
             .select(F.col("dst").alias("id"), F.col("lsrc").alias("newl"))
         )
-        curr = checkpoint(
+        curr = ck.step(
             i,
             curr.join(pick, "id", "left").select(
                 "id", F.coalesce(F.col("newl"), F.col("label")).alias("label")
             ),
+            force=(i == iters - 1),
         )
     sym.unpersist()
     return curr
