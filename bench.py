@@ -203,15 +203,20 @@ def _pipeline_section(spark, cores: int, sf_dir: str, q: dict, meta: dict) -> No
 
         # ckpt_interval=5: checkpoint every 5th superstep (resume replays
         # ≤4) — cuts the eager per-iteration materialization jobs that
-        # dominated these legs in round 2
-        _drain(spark)
-        t0 = time.time()
-        pr_df(edges, iters=20, ckpt_interval=5).count()
-        q["pipe_pagerank20_df"] = time.time() - t0
-        _drain(spark)
-        t0 = time.time()
-        cc_df(edges, ckpt_interval=5).count()
-        q["pipe_cc_df"] = time.time() - t0
+        # dominated these legs in round 2; best-of-R like the engine legs
+        pr_df_runs, cc_df_runs = [], []
+        for _ in range(R):
+            _drain(spark)
+            t0 = time.time()
+            pr_df(edges, iters=20, ckpt_interval=5).count()
+            pr_df_runs.append(time.time() - t0)
+        q["pipe_pagerank20_df"] = min(pr_df_runs)
+        for _ in range(R):
+            _drain(spark)
+            t0 = time.time()
+            cc_df(edges, ckpt_interval=5).count()
+            cc_df_runs.append(time.time() - t0)
+        q["pipe_cc_df"] = min(cc_df_runs)
     edges.unpersist()
 
     meta["pipeline"] = {
