@@ -43,6 +43,13 @@ def main() -> int:
     ap.add_argument("--checkpoint-root", default="")
     ap.add_argument("--run-id", default="run")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--snapshot-interval",
+        type=int,
+        default=1,
+        help="snapshot every k-th iteration (resume replays ≤ k−1); cuts "
+        "per-superstep snapshot I/O on long runs",
+    )
     ap.add_argument("--n-chunks", type=int, default=0)
     ap.add_argument(
         "--graph-table",
@@ -96,7 +103,10 @@ def main() -> int:
     def hook(g):
         if store is None:
             return None
-        return lambda i, arr: store.save(i, arr, g.boundaries)
+        k = max(1, args.snapshot_interval)
+        return lambda i, arr: (
+            store.save(i, arr, g.boundaries) if i % k == k - 1 or k == 1 else None
+        )
 
     if args.workload == "tc":
         from geminigraph_spark.functions.graph_algos import triangle_count
