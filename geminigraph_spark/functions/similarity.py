@@ -439,11 +439,18 @@ def ivf_recall_clustered(
 
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     e = clustered_embeddings(spark, n).persist()
-    e.count()
-    exact = cosine_topk_df(e, n_queries=n_queries, k=k)
-    approx = _ivf_topk_df(e, n_queries, k)
-    out = _recall_gate(exact, approx, n_queries, k, threshold)
-    return out
+    try:
+        e.count()
+        exact = cosine_topk_df(e, n_queries=n_queries, k=k)
+        approx = _ivf_topk_df(e, n_queries, k)
+        out = _recall_gate(exact, approx, n_queries, k, threshold)
+        # materialize the 1-row gate BEFORE releasing the fixture cache,
+        # then hand back a literal frame — no cached blocks leak past the
+        # call (ADVICE r3; the returned plan no longer references e)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        e.unpersist()
 
 
 def ann_recall_sql(n_queries: int = 20, k: int = 3) -> str:

@@ -20,8 +20,15 @@ retained snapshot — the exact calls a deployment would make through
 ``spark.read.option("snapshot-id", ...)`` / ``table.snapshots()``.
 Manifest writes are atomic (tmp + rename) so a killed run can never leave
 a truncated manifest pointing at a half-written snapshot: the state
-parquet is written first, the manifest entry only after — the same
-commit-protocol ordering Iceberg's metadata swap provides. On a cluster
+parquet is written first (to a **snapshot-id-unique** filename, itself
+via tmp + rename — re-saving an iteration can never truncate a file a
+live manifest entry still points at), the manifest entry only after —
+the same commit-protocol ordering Iceberg's metadata swap provides.
+Superseded snapshots of the same iteration keep their data files, so
+``restore(snapshot_id)`` of a replaced iteration keeps working; data is
+reclaimed only by the explicit retention API ``expire_snapshots``
+(Iceberg's expire_snapshots), which commits the trimmed manifest FIRST
+and deletes expired data files after. On a cluster
 with an Iceberg catalog the layout maps 1:1 onto a table partitioned by
 (algo, iteration, chunk_id) with one snapshot per iteration; swapping the
 backend touches only this module.
@@ -57,11 +64,13 @@ class SnapshotStore:
     # ------------------------------------------------------------ manifest
     def _read_manifest(self) -> dict:
         if not os.path.exists(self.manifest_path):
-            return {"iterations": [], "current_snapshot_id": 0}
+            return {"snapshots": [], "current_snapshot_id": 0}
         with open(self.manifest_path) as f:
             m = json.load(f)
+        if "snapshots" not in m:  # pre-retention manifest layout
+            m["snapshots"] = m.pop("iterations", [])
         m.setdefault("current_snapshot_id", max(
-            [x.get("snapshot_id", 0) for x in m["iterations"]], default=0
+            [x.get("snapshot_id", 0) for x in m["snapshots"]], default=0
         ))
         return m
 
@@ -87,7 +96,18 @@ class SnapshotStore:
         arrays = state if isinstance(state, dict) else {value_name: state}
         names = list(arrays)
         n = len(next(iter(arrays.values())))
-        path = os.path.join(self.dir, f"iter={iteration:05d}.parquet")
+        m = self._read_manifest()
+        parent = int(m.get("current_snapshot_id", 0))
+        snap_id = parent + 1
+        # snapshot-id-unique data file, written tmp + atomic rename: a
+        # kill mid-write leaves only an orphan .tmp, never a truncated
+        # file any manifest entry points at, and re-saving an iteration
+        # (rerun into the same dir without --resume) can never clobber
+        # the superseded snapshot's data
+        path = os.path.join(
+            self.dir, f"snap={snap_id:06d}.iter={iteration:05d}.parquet"
+        )
+        tmp = path + ".tmp"
         ids = np.arange(n, dtype=np.int64)
         chunk = (np.searchsorted(boundaries, ids, side="right") - 1).astype(np.int32)
         cols = {"id": ids}
@@ -96,18 +116,15 @@ class SnapshotStore:
         table = pa.table(cols)
         starts = boundaries[:-1]
         ends = boundaries[1:]
-        writer = pq.ParquetWriter(path, table.schema)
+        writer = pq.ParquetWriter(tmp, table.schema)
         per_chunk = []
         for c, (s, e) in enumerate(zip(starts, ends)):
             if e > s:
                 writer.write_table(table.slice(int(s), int(e - s)))
                 per_chunk.append({"chunk_id": int(c), "rows": int(e - s)})
         writer.close()
-        m = self._read_manifest()
-        parent = int(m.get("current_snapshot_id", 0))
-        snap_id = parent + 1
-        m["iterations"] = [x for x in m["iterations"] if x["iteration"] != iteration]
-        m["iterations"].append(
+        os.replace(tmp, path)
+        m["snapshots"].append(
             {
                 "iteration": int(iteration),
                 "snapshot_id": snap_id,
@@ -121,7 +138,6 @@ class SnapshotStore:
                 "extra": extra,
             }
         )
-        m["iterations"].sort(key=lambda x: x["iteration"])
         m["current_snapshot_id"] = snap_id
         self._write_manifest(m)
         return snap_id
@@ -142,30 +158,35 @@ class SnapshotStore:
 
     def latest(self, before: int | None = None):
         """Newest complete snapshot as (iteration, state) — state is an
-        array or, for multi-array snapshots, a dict of arrays."""
+        array or, for multi-array snapshots, a dict of arrays. "Newest"
+        is by snapshot id (commit order), so a rerun that re-saved early
+        iterations resumes from ITS newest state, not a stale deeper one
+        from the superseded run."""
         m = self._read_manifest()
         cands = [
             x
-            for x in m["iterations"]
+            for x in m["snapshots"]
             if (before is None or x["iteration"] < before) and os.path.exists(x["path"])
         ]
         if not cands:
             return None
-        last = cands[-1]
+        last = max(cands, key=lambda x: x.get("snapshot_id", 0))
         return last["iteration"], self._load_entry(last)
 
     def latest_entry(self) -> dict | None:
         """Newest complete snapshot's manifest entry (snapshot_id,
         parent_id, extra, ...) without loading state."""
         m = self._read_manifest()
-        cands = [x for x in m["iterations"] if os.path.exists(x["path"])]
-        return cands[-1] if cands else None
+        cands = [x for x in m["snapshots"] if os.path.exists(x["path"])]
+        return max(cands, key=lambda x: x.get("snapshot_id", 0)) if cands else None
 
     def restore(self, snapshot_id: int):
         """Time-travel: (iteration, state, extra) for a snapshot id —
-        the emulated twin of Iceberg's read.option(\"snapshot-id\")."""
+        the emulated twin of Iceberg's read.option(\"snapshot-id\").
+        Works for superseded snapshots too (their data files are kept
+        until expire_snapshots reclaims them)."""
         m = self._read_manifest()
-        for x in m["iterations"]:
+        for x in m["snapshots"]:
             if x.get("snapshot_id") == snapshot_id:
                 if not os.path.exists(x["path"]):
                     raise FileNotFoundError(
@@ -184,11 +205,46 @@ class SnapshotStore:
                 "iteration": x["iteration"],
                 "ts": x["ts"],
             }
-            for x in self._read_manifest()["iterations"]
+            for x in self._read_manifest()["snapshots"]
         ]
 
     def iterations(self) -> list[dict]:
-        return self._read_manifest()["iterations"]
+        """Latest retained snapshot entry per iteration, iteration order
+        (the per-iteration lineage view; the full log is snapshots())."""
+        by_iter: dict[int, dict] = {}
+        for x in self._read_manifest()["snapshots"]:
+            prev = by_iter.get(x["iteration"])
+            if prev is None or x.get("snapshot_id", 0) > prev.get("snapshot_id", 0):
+                by_iter[x["iteration"]] = x
+        return [by_iter[i] for i in sorted(by_iter)]
+
+    # ---------------------------------------------------------- retention
+    def expire_snapshots(self, keep_last: int) -> list[int]:
+        """Iceberg's ``expire_snapshots``: retain only the ``keep_last``
+        newest snapshots (by snapshot id); older entries leave the
+        manifest and their data files are deleted. Commit-protocol order:
+        the trimmed manifest is committed FIRST (atomic rename), data
+        files are garbage-collected only post-commit — a kill in between
+        leaves harmless orphan files, never a manifest entry pointing at
+        deleted data. Survivors keep their recorded ``parent_id`` even
+        when the parent was expired (Iceberg semantics: the snapshot log
+        is trimmed, ancestry ids remain as history). Returns the expired
+        snapshot ids."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        m = self._read_manifest()
+        snaps = sorted(m["snapshots"], key=lambda x: x.get("snapshot_id", 0))
+        expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+        if not expired:
+            return []
+        m["snapshots"] = kept
+        self._write_manifest(m)  # commit the trim first
+        for x in expired:  # post-commit GC
+            try:
+                os.remove(x["path"])
+            except OSError:
+                pass
+        return [x.get("snapshot_id") for x in expired]
 
 
 def _metrics_dict(metrics) -> dict | None:

@@ -187,8 +187,20 @@ def main() -> int:
                 bc_start = (extra["phase"], extra["level"], arrays)
                 next_idx = entry["iteration"] + 1
         counter = itertools.count(next_idx)
+        # --snapshot-interval applies to bc like every other workload:
+        # save every k-th level, PLUS the first level of each phase (the
+        # phase-transition snapshot) so resume replays ≤ k−1 levels and
+        # never has to cross a phase boundary it has no snapshot for
+        k_bc = max(1, args.snapshot_interval)
+        bc_seen = {"n": 0, "phase": None}
 
         def bc_hook(phase, level, arrays):
+            first_of_phase = phase != bc_seen["phase"]
+            bc_seen["phase"] = phase
+            i = bc_seen["n"]
+            bc_seen["n"] += 1
+            if not (first_of_phase or i % k_bc == k_bc - 1):
+                return
             store.save(
                 next(counter),
                 arrays,
@@ -196,12 +208,22 @@ def main() -> int:
                 extra={"phase": phase, "level": int(level)},
             )
 
-        gt = ChunkedGraph.build(
-            spark,
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
-            n_chunks=n_chunks,
-            n_vertices=g.n_vertices,
-        )
+        # the transpose is a second derivation-tagged table: reruns with
+        # --graph-table skip BOTH builds (forward graph above, transpose
+        # here), mirroring the reference's O(1) transpose() reuse
+        # (core/graph.hpp:759-768)
+        gt_table = args.graph_table + "_t" if args.graph_table else ""
+        if gt_table and os.path.exists(os.path.join(gt_table, "manifest.json")):
+            gt = ChunkedGraph.load(spark, gt_table, expect_derivation="transposed")
+        else:
+            gt = ChunkedGraph.build(
+                spark,
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                n_chunks=n_chunks,
+                n_vertices=g.n_vertices,
+            )
+            if gt_table:
+                gt.save(gt_table, derivation="transposed")
         vals, eng = A.bc_engine(
             g,
             gt,
