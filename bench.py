@@ -287,6 +287,23 @@ def _pipeline_section(spark, cores: int, sf_dir: str, q: dict, meta: dict) -> No
     cc_eng = cell["cc_eng"]
     cc_trav = int(sum(m.active_edges for m in cc_eng.metrics))
 
+    def run_lp():
+        from geminigraph_spark.operators.algorithms import lp_engine
+
+        _lp, cell["lp_eng"] = lp_engine(sym, iters=10)
+
+    # frontier-restricted LP (VERDICT r3 #2): the per-superstep
+    # processed_edges trace in meta shows the tail-iteration win
+    _leg(spark, q, meta, "pipe_lp10", run_lp, runs=R)
+    meta["lp_supersteps"] = [
+        {
+            "mode": m.mode,
+            "active_vertices": m.active_vertices,
+            "processed_edges": m.processed_edges,
+        }
+        for m in cell["lp_eng"].metrics
+    ]
+
     # DataFrame-path kernels (the distributed-state scale path) on the
     # same edges — single runs, reported but excluded from the headline
     if os.environ.get("SPARK_GRAFT_BENCH_DF", "1") == "1":

@@ -315,22 +315,67 @@ def label_propagation(
     iters: int = 10,
     checkpoint: Checkpointer = _default_ckpt,
     ckpt_interval: int = 1,
+    metrics: list[DFIterMetrics] | None = None,
 ) -> DataFrame:
     """Synchronous label propagation (SURVEY §2.3 A6): over the symmetrized
     multiset graph, new label = most frequent incoming label, ties broken
     by smallest label; vertices with no incoming labels keep theirs.
-    No per-step aggregate ⇒ ``ckpt_interval`` steps chain lazily and the
-    k-th checkpoint runs them in one job (see _IntervalCkpt)."""
+
+    Frontier-restricted (VERDICT r3 #2, the cc.cpp:48-59 activation
+    discipline applied to A6): a vertex's mode can only change if ≥1
+    in-neighbor's label changed, so once the frontier's active out-edges
+    drop under |E|/20 the recompute is restricted to dsts touched by the
+    frontier — over ALL their in-edges (a mode is not decomposable over a
+    frontier subset, unlike min/sum), with the frontier broadcast to find
+    the touched dsts. Untouched dsts keep their label: their in-label
+    multiset is unchanged, so the restriction is semantics-preserving and
+    the oracle-checked result is identical. Empty frontier ⇒ early exit
+    (synchronous LP at a fixpoint is a no-op forever after).
+
+    Per-step convergence aggregate ⇒ ``ckpt_interval`` uses the lazy
+    localCheckpoint discipline (see _IntervalCkpt)."""
     from .edges import symmetrize_df
 
-    ck = _IntervalCkpt(checkpoint, ckpt_interval, lazy_chain=True)
+    ck = _IntervalCkpt(checkpoint, ckpt_interval, lazy_chain=False)
     sym = _collapsed(symmetrize_df(edges)).persist()
+    n_edges = int(sym.agg(F.sum("cnt")).first()[0])
     verts = _vertices_of(edges)
-    curr = ck.step(-1, verts.select("id", F.col("id").alias("label")))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.sum("cnt").alias("outd"))
+    curr = ck.step(
+        -1,
+        verts.join(deg, "id", "left")
+        .fillna(0, subset=["outd"])
+        .select(
+            "id", F.col("id").alias("label"), "outd", F.lit(True).alias("changed")
+        ),
+    )
+    stats = curr.agg(
+        F.sum(F.col("changed").cast("long")).alias("nc"),
+        F.sum(F.when(F.col("changed"), F.col("outd")).otherwise(F.lit(0))).alias("ae"),
+    ).first()
+    n_changed, active_edges = int(stats["nc"] or 0), int(stats["ae"] or 0)
     w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("lsrc").asc())
     for i in range(iters):
+        if n_changed == 0:
+            break
+        sparse = active_edges < n_edges / SPARSE_DENOM
+        if metrics is not None:
+            metrics.append(
+                DFIterMetrics(i, "sparse" if sparse else "dense", n_changed, active_edges)
+            )
+        if sparse:
+            # touched dsts from the broadcast frontier, then ALL in-edges
+            # of those dsts (plain shuffle join on dst — the touched set
+            # is frontier-sized, not broadcastable in general)
+            fr = F.broadcast(
+                curr.where("changed").select(F.col("id").alias("src"))
+            )
+            touched = sym.join(fr, "src").select("dst").distinct()
+            base = sym.join(touched, "dst")
+        else:
+            base = sym
         counts = (
-            sym.join(
+            base.join(
                 curr.select(F.col("id").alias("src"), F.col("label").alias("lsrc")),
                 "src",
             )
@@ -345,12 +390,23 @@ def label_propagation(
         curr = ck.step(
             i,
             curr.join(pick, "id", "left").select(
-                "id", F.coalesce(F.col("newl"), F.col("label")).alias("label")
+                "id",
+                F.coalesce(F.col("newl"), F.col("label")).alias("label"),
+                "outd",
+                (F.coalesce(F.col("newl"), F.col("label")) != F.col("label")).alias(
+                    "changed"
+                ),
             ),
             force=(i == iters - 1),
         )
+        stats = curr.agg(
+            F.sum(F.col("changed").cast("long")).alias("nc"),
+            F.sum(F.when(F.col("changed"), F.col("outd")).otherwise(F.lit(0))).alias("ae"),
+        ).first()
+        ck.materialized()
+        n_changed, active_edges = int(stats["nc"] or 0), int(stats["ae"] or 0)
     sym.unpersist()
-    return curr
+    return curr.select("id", "label")
 
 
 def _oriented(edges: DataFrame) -> DataFrame:

@@ -111,9 +111,19 @@ def _load_state(transport: dict):
     return msg, fro, transport["sparse"], fids, dsel, fvals
 
 
-def _make_task(combiner: str, val_dtype, msg_offset, transport: dict):
+def _make_task(
+    combiner: str, val_dtype, msg_offset, transport: dict, affected_mode: bool = False
+):
     """Per-chunk mapInPandas body. Output: one row per chunk with packed
-    binary (ids, vals); ids=None ⇒ contiguous range starting at begin."""
+    binary (ids, vals); ids=None ⇒ contiguous range starting at begin.
+
+    ``affected_mode`` (mode combiner only): frontier_ids mark the vertices
+    whose label CHANGED last superstep; the task recomputes the mode only
+    at dsts with ≥1 in-edge from the frontier, but over ALL their in-edges
+    (a mode is not decomposable over a frontier subset, unlike sum/min) —
+    untouched dsts keep their label because their in-label multiset is
+    unchanged. This is the activation discipline CC got from cc.cpp:48-59,
+    applied to A6."""
     from .chunked_graph import load_chunk_arrays
 
     def task(batches):
@@ -133,7 +143,20 @@ def _make_task(combiner: str, val_dtype, msg_offset, transport: dict):
                 begin, end = int(row.begin), int(row.end)
                 a = load_chunk_arrays(row.path, False)
                 srcs, dsts, w = a["srcs"], a["dsts"], a["weights"]
-                if sparse and frontier_ids is not None:
+                if affected_mode and frontier_ids is not None:
+                    # touched dsts from the frontier's src spans, then ALL
+                    # in-edges of those dsts (src-unrestricted gather)
+                    s = np.searchsorted(srcs, frontier_ids, side="left")
+                    e = np.searchsorted(srcs, frontier_ids, side="right")
+                    sel = _multi_range_indices(s, e)
+                    if len(sel) == 0:
+                        continue
+                    size0 = end - begin
+                    aff = np.zeros(size0, dtype=bool)
+                    aff[np.asarray(dsts)[sel] - begin] = True
+                    m = aff[np.asarray(dsts) - begin]
+                    srcs, dsts = np.asarray(srcs)[m], np.asarray(dsts)[m]
+                elif sparse and frontier_ids is not None:
                     s = np.searchsorted(srcs, frontier_ids, side="left")
                     e = np.searchsorted(srcs, frontier_ids, side="right")
                     sel = _multi_range_indices(s, e)
@@ -311,12 +334,22 @@ class VertexEngine:
         iteration: int = -1,
         force_mode: str | None = None,
         dense_selective: np.ndarray | None = None,
+        affected_only: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """One superstep. Returns (ids, vals) of dsts that received ≥1
         message, aggregated with ``combiner``. ``frontier`` is a boolean
         mask over vertices (None = all active). ``dense_selective`` is a
         boolean dst mask applied only in dense/pull mode — the reference's
-        visited-skip bitmap (core/graph.hpp:1665-1689, bfs.cpp:77)."""
+        visited-skip bitmap (core/graph.hpp:1665-1689, bfs.cpp:77).
+
+        ``affected_only`` (mode combiner): ``frontier`` marks the vertices
+        whose value changed last superstep; when the frontier is sparse by
+        the /20 rule, only dsts with ≥1 in-edge from the frontier are
+        recomputed — over ALL their in-edges, so the returned modes are
+        identical to a full sweep (an untouched dst's in-multiset is
+        unchanged). Transport still ships the full value vector (the mode
+        reads every in-neighbor, not just frontier ones) plus the frontier
+        ids."""
         t0 = time.time()
         g = self.g
         active_edges = self.active_out_edges(frontier)
@@ -326,21 +359,39 @@ class VertexEngine:
         sparse = active_edges < g.n_edges / SPARSE_DENOM
         if force_mode is not None:
             sparse = force_mode == "sparse"
-        if frontier is not None and not sparse and frontier.all():
-            # full frontier: dense scans every edge anyway — skip the mask
+        affected_mode = False
+        if affected_only:
+            if combiner != "mode":  # pragma: no cover
+                raise ValueError("affected_only applies to the mode combiner")
+            affected_mode = (
+                sparse and frontier is not None and not frontier.all()
+            )
+            frontier_ids = (
+                np.flatnonzero(frontier) if affected_mode else None
+            )
+            # mode reads all in-neighbors: never src-mask the edges, and
+            # the shipment is always the full vector (+ frontier ids)
             frontier = None
-        frontier_ids = (
-            np.flatnonzero(frontier) if (sparse and frontier is not None) else None
-        )
-        if sparse or (dense_selective is not None and dense_selective.all()):
+            sparse = False
             dense_selective = None
+        else:
+            if frontier is not None and not sparse and frontier.all():
+                # full frontier: dense scans every edge anyway — skip the mask
+                frontier = None
+            frontier_ids = (
+                np.flatnonzero(frontier) if (sparse and frontier is not None) else None
+            )
+            if sparse or (dense_selective is not None and dense_selective.all()):
+                dense_selective = None
         val_dtype = np.float64 if msg_vec.dtype.kind == "f" else np.int64
 
         transport, bc, bytes_shipped = self._ship_state(
             msg_vec, frontier, sparse, frontier_ids, dense_selective
         )
         try:
-            task = _make_task(combiner, val_dtype, msg_offset, transport)
+            task = _make_task(
+                combiner, val_dtype, msg_offset, transport, affected_mode
+            )
             rows = g.chunks.mapInPandas(task, _OUT_SCHEMA).collect()
         finally:
             if bc is not None:
@@ -373,7 +424,7 @@ class VertexEngine:
         self.metrics.append(
             IterationMetrics(
                 iteration=iteration,
-                mode="sparse" if sparse else "dense",
+                mode="sparse" if (sparse or affected_mode) else "dense",
                 active_vertices=active_vertices,
                 active_edges=active_edges,
                 wall_s=time.time() - t0,

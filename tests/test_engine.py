@@ -78,6 +78,27 @@ def test_lp_engine_exact(built):
     assert np.array_equal(got, want)
 
 
+def test_lp_engine_frontier_restriction_shrinks(built):
+    """VERDICT r3 #2 (engine path): once the changed-label frontier goes
+    sparse, only dsts touched by it are recomputed (over ALL their
+    in-edges — affected_only mode): identical labels to the full 10-sweep
+    reference, shrinking active counts, a sparse tail superstep whose
+    measured processed_edges is a fraction of |E|, and early exit at the
+    fixpoint."""
+    src, dst, w, n, g, sym, wg = built
+    want = O.lp_ref(src, dst, n, iters=10)
+    got, eng = lp_engine(sym, iters=10)
+    assert np.array_equal(got, want)
+    av = [m.active_vertices for m in eng.metrics]
+    assert av[0] == n and av[-1] < n // 10
+    assert len(eng.metrics) < 10  # converged -> early exit
+    tail = eng.metrics[-1]
+    assert tail.mode == "sparse"
+    # restricted sweep touches only the in-edges of affected dsts
+    assert 0 < tail.processed_edges < sym.n_edges // 2
+    assert eng.metrics[0].processed_edges == sym.n_edges
+
+
 def test_sssp_engine_matches(built):
     src, dst, w, n, g, sym, wg = built
     root = int(src[0])

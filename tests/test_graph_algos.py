@@ -77,6 +77,34 @@ def test_lp_exact(spark, g):
         assert want[int(row["id"])] == int(row["label"]), row
 
 
+def test_lp_frontier_restriction_shrinks_and_matches(spark, g):
+    """VERDICT r3 #2 (DF path): LP recomputes only dsts with a changed
+    in-neighbor once the frontier goes sparse — results identical to the
+    full 10-sweep reference, per-superstep active counts shrink, the tail
+    superstep runs in sparse (restricted) mode, and convergence exits
+    early instead of burning no-op sweeps."""
+    # a fixture whose LP tail actually crosses the /20 rule (the shared
+    # module fixture converges with a 76-active-edge tail vs threshold
+    # 70 — never sparse): n=150/m=900/seed=5 tails at 24 < 90
+    rng = np.random.default_rng(5)
+    n, m = 150, 900
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = ((rng.integers(0, n, m) * rng.integers(0, n, m)) % n).astype(np.int64)
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(src, dst)], "src long, dst long"
+    ).coalesce(4)
+    want = O.lp_ref(src, dst, n, iters=10)
+    mets = []
+    got = label_propagation(df, iters=10, metrics=mets).toPandas()
+    for _, row in got.iterrows():
+        assert want[int(row["id"])] == int(row["label"])
+    av = [m.active_vertices for m in mets]
+    assert av[0] == n  # first sweep: everyone changed at init
+    assert av[-1] < n // 10  # tail: only the still-churning region
+    assert len(mets) < 10  # converged -> early exit
+    assert mets[0].mode == "dense" and mets[-1].mode == "sparse"
+
+
 def test_triangles_exact(spark, g):
     src, dst, n, df = g
     total, per_v = O.tc_ref(src, dst, n)
