@@ -169,12 +169,24 @@ def ann_recall(
 
 
 # ---------------------------------------------------------------- IVF ANN
-#: hard budget on the driver-resident coarse quantizer: the centroid
-#: matrix is at most MAX_CENTROIDS×dim float64 (~2 MB at dim 64) no
-#: matter how big the corpus — the same "small metadata on every node,
-#: never O(N)" discipline as the reference's chunk boundary array
-#: (core/graph.hpp:213)
-MAX_CENTROIDS = 4096
+#: hard budget on the driver-resident quantizer: the fine-centroid matrix
+#: is at most MAX_CENTROIDS×dim float64 (~32 MB at dim 64) no matter how
+#: big the corpus — the same "small metadata on every node, never O(N)"
+#: discipline as the reference's chunk boundary array (core/graph.hpp:213).
+#: The cap was 4096 when assignment was one O(dim·K) matmul per vector;
+#: the two-level (coarse→fine) router (VERDICT r3 #4) cut per-vector
+#: assignment to O(dim·√K·probes), so K can track √N up to 65536 — the
+#: linear-list-growth regime now starts at N ≈ 4×10⁹ instead of 1.7×10⁷
+MAX_CENTROIDS = 65536
+#: coarse cells probed per assignment: the true nearest fine centroid is
+#: searched only inside the coarse_probes nearest cells. When the coarse
+#: level has ≤ this many cells the router degenerates to the exhaustive
+#: single matmul — bit-identical to the pre-hierarchy quantizer (all gate
+#: scales land there: K ≤ 64 ⇒ Kc ≤ 8)
+IVF_COARSE_PROBES = 8
+#: driver-side Lloyd iterations for clustering the K fine centroids into
+#: √K coarse cells (pure numpy over the K×dim matrix — O(K^1.5·dim))
+COARSE_KMEANS_ITERS = 4
 #: distributed Lloyd refinement steps over the seeded centroids (each
 #: step is one assignment pass + one groupBy-mean; only K mean rows ever
 #: reach the driver)
@@ -200,19 +212,147 @@ def centroids_for(n_rows: int) -> int:
     return max(1, min(MAX_CENTROIDS, math.isqrt(max(1, n_rows))))
 
 
+def build_coarse(
+    cn: np.ndarray,
+    coarse_probes: int = IVF_COARSE_PROBES,
+    iters: int = COARSE_KMEANS_ITERS,
+):
+    """Cluster the K (normalized) fine centroids into Kc = ⌊√K⌋ coarse
+    cells with deterministic driver-side k-means (strided seed, fixed
+    iteration count). Returns (coarse_normalized, cell_of) or (None, None)
+    when routing can't beat the exhaustive matmul (Kc ≤ coarse_probes) —
+    the degenerate case is bit-identical to the single-level quantizer."""
+    k = len(cn)
+    kc = math.isqrt(k)
+    if kc <= coarse_probes:
+        return None, None
+    coarse = cn[:: max(1, k // kc)][:kc].copy()
+    cell = None
+    for _ in range(iters):
+        co = coarse / np.maximum(
+            np.linalg.norm(coarse, axis=1, keepdims=True), 1e-12
+        )
+        cell = np.argmax(cn @ co.T, axis=1)
+        sums = np.zeros_like(coarse)
+        np.add.at(sums, cell, cn)
+        counts = np.bincount(cell, minlength=kc).astype(np.float64)
+        nz = counts > 0
+        coarse[nz] = sums[nz] / counts[nz, None]  # empty cells keep seeds
+    co = coarse / np.maximum(np.linalg.norm(coarse, axis=1, keepdims=True), 1e-12)
+    cell = np.argmax(cn @ co.T, axis=1)  # final membership vs final cells
+    return co, cell
+
+
+def _two_level_assign(
+    m: np.ndarray,
+    cn: np.ndarray,
+    coarse: np.ndarray | None,
+    forder: np.ndarray | None,
+    fb: np.ndarray | None,
+    top_p: int,
+    coarse_probes: int = IVF_COARSE_PROBES,
+) -> tuple[np.ndarray, int]:
+    """Per-vector top_p nearest fine centroids via coarse routing.
+
+    ``m`` is the normalized (batch, dim) block; ``forder``/``fb`` are the
+    fine-centroid ids grouped by coarse cell (argsort of cell_of + cell
+    boundary offsets). Each row's fine search touches only its
+    coarse_probes nearest cells — the per-cell loop runs one vectorized
+    matmul per DISTINCT probed cell (≤ Kc Python iterations per batch,
+    each a BLAS call), so assignment FLOPs are
+    dim·(Kc + probes·K/Kc) = O(dim·√K·probes) instead of dim·K.
+    Peak extra memory is O(batch·probes·K/Kc) candidate triples.
+
+    Returns (assignments int32 (batch, top_p), measured multiply FLOPs) —
+    the FLOPs count is what the sublinearity pytest pins. Rows are
+    independent (batch-boundary invariant); ties break by fine id."""
+    batch, dim = m.shape
+    k = len(cn)
+    if coarse is None or coarse_probes >= len(coarse):
+        sims = m @ cn.T  # (batch, K) — the pre-hierarchy exhaustive path
+        top = np.argsort(-sims, axis=1)[:, :top_p].astype(np.int32)
+        return top, batch * k * dim
+    flops = 0
+    sims_c = m @ coarse.T
+    flops += batch * len(coarse) * dim
+    topc = np.argpartition(-sims_c, coarse_probes - 1, axis=1)[:, :coarse_probes]
+    prow = np.repeat(np.arange(batch, dtype=np.int64), coarse_probes)
+    pcell = topc.ravel()
+    o = np.argsort(pcell, kind="stable")
+    prow_s, pcell_s = prow[o], pcell[o]
+    uc, starts = np.unique(pcell_s, return_index=True)
+    ends = np.append(starts[1:], len(pcell_s))
+    rows_l, fids_l, sims_l = [], [], []
+    for c, s, e in zip(uc, starts, ends):
+        fsel = forder[fb[c] : fb[c + 1]]
+        if len(fsel) == 0:
+            continue
+        rws = prow_s[s:e]
+        blk = m[rws] @ cn[fsel].T
+        flops += len(rws) * len(fsel) * dim
+        rows_l.append(np.repeat(rws, len(fsel)))
+        fids_l.append(np.tile(fsel, len(rws)))
+        sims_l.append(blk.ravel())
+    rows = np.concatenate(rows_l)
+    fids = np.concatenate(fids_l)
+    sims = np.concatenate(sims_l)
+    o = np.lexsort((fids, -sims, rows))
+    r_s, f_s = rows[o], fids[o]
+    new = np.ones(len(r_s), dtype=bool)
+    new[1:] = r_s[1:] != r_s[:-1]
+    starts_r = np.flatnonzero(new)
+    counts_r = np.diff(np.append(starts_r, len(r_s)))
+    rank = np.arange(len(r_s)) - np.repeat(starts_r, counts_r)
+    keep = rank < top_p
+    out = np.zeros((batch, top_p), dtype=np.int32)
+    # pad short rows with their own top-1 (duplicate probes are harmless:
+    # the probe join's groupBy-max dedups them)
+    out[r_s[starts_r]] = f_s[starts_r][:, None]
+    out[r_s[keep], rank[keep]] = f_s[keep]
+    return out, flops
+
+
+def ivf_assign_cost(
+    n_rows: int, dim: int = 64, coarse_probes: int = IVF_COARSE_PROBES
+) -> dict:
+    """Cost model of the deployed quantizer at corpus size N — the
+    sublinearity contract the pytest pins across sizes spanning the old
+    4096-centroid cap: per-vector assignment FLOPs grow O(√K) and
+    candidates/query grow O(N/K) = O(√N) until the (now 16×-further) cap."""
+    k = centroids_for(n_rows)
+    kc = math.isqrt(k)
+    if kc <= coarse_probes:
+        flops = dim * k
+    else:
+        flops = dim * kc + coarse_probes * math.ceil(k / kc) * dim
+    return {
+        "K": k,
+        "assign_flops_per_vector": int(flops),
+        "candidates_per_query": int(IVF_PROBES * n_rows / k),
+    }
+
+
 def _ivf_assign_udf(cents: np.ndarray, top_p: int):
-    """UDF: per vector, the ids of its top_p nearest centroids (cosine),
-    one broadcast matrix multiply per Arrow batch."""
+    """UDF: per vector, the ids of its top_p nearest centroids (cosine) —
+    coarse→fine routed when K is large, one exhaustive broadcast matmul
+    per Arrow batch otherwise (build_coarse/_two_level_assign)."""
     from pyspark.sql.functions import pandas_udf
 
     cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    coarse, cell_of = build_coarse(cn)
+    if coarse is not None:
+        forder = np.argsort(cell_of, kind="stable").astype(np.int64)
+        fb = np.searchsorted(
+            cell_of[forder], np.arange(len(coarse) + 1), side="left"
+        )
+    else:
+        forder = fb = None
 
     @pandas_udf("array<int>")
     def assign(emb: pd.Series) -> pd.Series:
         m = np.stack(emb.values).astype(np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ cn.T  # (batch, K)
-        top = np.argsort(-sims, axis=1)[:, :top_p].astype(np.int32)
+        top, _flops = _two_level_assign(m, cn, coarse, forder, fb, top_p)
         return pd.Series(list(top))
 
     return assign
@@ -330,7 +470,8 @@ def ann_ivf_topk(
     n_probes: int = IVF_PROBES,
 ) -> DataFrame:
     """(query_id, neighbor_id, rnk, sim_ppm) — approximate top-k via an
-    IVF (inverted-file) index: K = min(√N, 4096) centroids seeded from a
+    IVF (inverted-file) index: K = min(√N, 65536) centroids (coarse→fine
+    routed assignment past Kc > 8 — build_coarse) seeded from a
     deterministic K-row sample and refined with distributed Lloyd steps
     (train_ivf_centroids — driver traffic is O(K), never O(N)); each
     vector lands in its nearest centroid's list, each query probes its

@@ -58,7 +58,7 @@ def test_ivf_quantizer_is_sublinear(spark):
     for n in (10_000, 1_000_000):
         assert centroids_for(4 * n) <= 2 * centroids_for(n) + 1
     assert centroids_for(10**12) == MAX_CENTROIDS
-    assert centroids_for(10**9) == MAX_CENTROIDS
+    assert centroids_for(10**10) == MAX_CENTROIDS
 
     # trained matrix shape is (K, dim) at two corpus sizes — 4× the rows,
     # ≤2× the centroids, and the per-step driver pull is K mean rows
@@ -67,6 +67,77 @@ def test_ivf_quantizer_is_sublinear(spark):
         cents = train_ivf_centroids(e, n, lloyd_steps=1)
         assert cents.shape == (centroids_for(n), 64)
     assert centroids_for(1024) <= 2 * centroids_for(256)
+
+
+def test_two_level_router_sublinear_flops_and_exactness():
+    """VERDICT r3 #4: the coarse→fine router makes per-vector assignment
+    FLOPs O(dim·√K·probes) so K can track √N past the old 4096 cap.
+    Measured multiply counts across a 16× centroid-count span grow ≪16×;
+    the degenerate path (probes ≥ Kc) is bit-identical to the exhaustive
+    matmul; the deployed cost model is sublinear across corpus sizes
+    spanning the old cap (1.7×10⁷)."""
+    import numpy as np
+
+    from geminigraph_spark.functions.similarity import (
+        _two_level_assign,
+        build_coarse,
+        centroids_for,
+        ivf_assign_cost,
+    )
+
+    rng = np.random.default_rng(1)
+    dim = 64
+    flops = {}
+    for K in (256, 4096):
+        cents = rng.standard_normal((K, dim))
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        coarse, cell_of = build_coarse(cn)
+        assert coarse is not None and len(coarse) == int(K**0.5)
+        forder = np.argsort(cell_of, kind="stable").astype(np.int64)
+        fb = np.searchsorted(cell_of[forder], np.arange(len(coarse) + 1))
+        m = rng.standard_normal((100, dim))
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        top, fl = _two_level_assign(m, cn, coarse, forder, fb, 8)
+        assert top.shape == (100, 8)
+        flops[K] = fl
+        # probes ≥ Kc degenerates to the exhaustive matmul, bit-identical
+        ex, _ = _two_level_assign(m, cn, None, None, None, 8)
+        assert np.array_equal(ex, np.argsort(-(m @ cn.T), axis=1)[:, :8])
+    assert flops[4096] < 6 * flops[256]  # 16× the centroids, ≪16× the work
+    lo, hi = ivf_assign_cost(10**6), ivf_assign_cost(10**10)
+    assert centroids_for(10**10) > 4096  # genuinely past the old cap
+    # 10⁴× the corpus: ≪10⁴× assignment work, ~√-growth candidate sets
+    assert hi["assign_flops_per_vector"] < 20 * lo["assign_flops_per_vector"]
+    assert hi["candidates_per_query"] < 200 * lo["candidates_per_query"]
+
+
+def test_two_level_routed_recall_clustered(spark):
+    """End-to-end recall with routing ACTIVE: at N=8000 the clustered
+    fixture trains K=89 fine centroids in Kc=9 coarse cells (> 8 probes ⇒
+    the router is on, unlike the sf0.01 gate where it degenerates), and
+    recall@3 vs the exact cosine baseline still clears 0.9."""
+    from geminigraph_spark.functions.docpipe import cosine_topk_df
+    from geminigraph_spark.functions.similarity import (
+        _ivf_topk_df,
+        _recall_gate,
+        build_coarse,
+        centroids_for,
+        clustered_embeddings,
+    )
+    import numpy as np
+
+    n = 8000
+    k = centroids_for(n)
+    assert int(k**0.5) > 8  # routing engages at this size
+    e = clustered_embeddings(spark, n).persist()
+    try:
+        e.count()
+        exact = cosine_topk_df(e, n_queries=20, k=3)
+        approx = _ivf_topk_df(e, 20, 3)
+        row = _recall_gate(exact, approx, 20, 3, 0.9).first()
+        assert row["recall_pass"] == 1
+    finally:
+        e.unpersist()
 
 
 def test_ivf_clustered_gate_has_teeth(spark):
