@@ -64,26 +64,16 @@ def start_edge_ingest(
     )
 
 
-def start_streaming_dedup(
-    spark: SparkSession,
-    landing_dir: str,
-    checkpoint_dir: str,
-    out_table: str = "stream_dedup",
-):
-    """Custom stateful operator via ``applyInPandasWithState``: exact
-    content dedup ACROSS micro-batches. Key = sha256 of the raw ``html``
-    bytes (sha2 takes BinaryType directly — no lossy binary→string cast,
-    so distinct non-UTF-8 payloads can never collapse); per-key state
-    remembers the first-seen url (ties within a batch broken by url) and
-    the running copy count. Every micro-batch that observes a hash
-    re-emits one row for it with the updated running count — update-mode
-    semantics, so sink consumers must reduce per key (e.g. take the row
-    with max ``n_copies`` per ``h``); the memory sink used in tests
-    appends all emissions.
-
-    This is the streaming twin of docpipe.dedup_exact (hash-then-group);
-    state is Spark's HDFS-backed state store — per-key, partitioned by
-    the hash, so it scales horizontally like any keyed state."""
+def _dedup_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """The stateful cross-batch dedup operator (shared by the memory and
+    parquet sinks): key = sha256 of the raw ``html`` bytes (sha2 takes
+    BinaryType directly — no lossy binary→string cast, so distinct
+    non-UTF-8 payloads can never collapse); per-key state remembers the
+    first-seen url (ties within a batch broken by url) and the running
+    copy count; every micro-batch that observes a hash re-emits one row
+    with the updated running count (update-mode semantics). State is
+    Spark's HDFS-backed state store — per-key, partitioned by the hash,
+    so it scales horizontally like any keyed state."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -130,20 +120,72 @@ def start_streaming_dedup(
                 {"h": [key[0]], "first_url": [first_url], "n_copies": [n_batch]}
             )
 
-    deduped = pages.groupBy("h").applyInPandasWithState(
+    return pages.groupBy("h").applyInPandasWithState(
         dedup,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def start_streaming_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    out_table: str = "stream_dedup",
+):
+    """Streaming twin of docpipe.dedup_exact (hash-then-group) — see
+    ``_dedup_stream`` for the operator semantics. The memory sink here is
+    TEST-ONLY (it appends every update-mode emission for inspection);
+    ``start_streaming_dedup_parquet`` is the production consumer."""
     return (
-        deduped.writeStream.outputMode("update")
+        _dedup_stream(spark, landing_dir)
+        .writeStream.outputMode("update")
         .format("memory")
         .queryName(out_table)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def start_streaming_dedup_parquet(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+):
+    """Production consumer for the update-mode dedup contract (VERDICT r3
+    #10): same stateful operator, but the sink is a ``foreachBatch``
+    parquet APPEND — each micro-batch appends its updated
+    (h, first_url, n_copies) rows, so the table accumulates one row per
+    (hash, observation-batch) and ``compact_dedup_parquet`` is the
+    reducing view the update-mode contract requires."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        _dedup_stream(spark, landing_dir)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_dedup_parquet(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Current dedup state from the appended parquet: one row per hash.
+    ``n_copies`` is monotone per ``h`` (each re-emission carries the
+    running total) and ``first_url`` never changes after first sight, so
+    max() over both is exactly the latest state — no window needed, one
+    partial-aggregated groupBy."""
+    df = spark.read.parquet(out_dir)
+    return df.groupBy("h").agg(
+        F.max("first_url").alias("first_url"),
+        F.max("n_copies").alias("n_copies"),
     )
 
 
