@@ -376,15 +376,15 @@ def frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_bytes=VID_FRAME_BYTES,
     )
     # head byte of each kept frame is arithmetic in (doc_id, frame_no) —
-    # the oracle recomputes it, so the gate checks sampling AND content
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def head_byte(fr: pd.Series) -> pd.Series:
-        return fr.map(lambda b: int(b[0]) if len(b) else -1)
-
+    # the oracle recomputes it, so the gate checks sampling AND content.
+    # Pure JVM expression (substring on binary → hex → conv), no Python
+    # in the gate wrapper either (VERDICT r3 wrong #5)
+    head_byte = F.coalesce(
+        F.conv(F.hex(F.expr("substring(frame, 1, 1)")), 16, 10).cast("long"),
+        F.lit(-1),
+    )
     return frames.groupBy(F.col("asset_id").alias("id")).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("frame_no").cast("long").alias("frame_no_sum"),
-        F.sum(head_byte(F.col("frame"))).cast("long").alias("head_byte_sum"),
+        F.sum(head_byte).cast("long").alias("head_byte_sum"),
     )

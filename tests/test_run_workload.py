@@ -1,0 +1,88 @@
+"""End-to-end spark-submit surface: jobs/run_workload.py — bc with
+--snapshot-interval gating and --graph-table reuse of BOTH derivation
+tables (forward + transpose), plus --resume equivalence (VERDICT r3 #8)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    p = subprocess.run(
+        [sys.executable, "jobs/run_workload.py", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=300,
+        env=env,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    out = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    return json.loads(out[-1]) if out else {}
+
+
+def test_bc_cli_interval_graph_table_and_resume(spark, tmp_path):
+    rng = np.random.default_rng(2)
+    n, m = 80, 400
+    pdf = pd.DataFrame(
+        {
+            "src": rng.integers(0, n, m).astype(np.int64),
+            "dst": rng.integers(0, n, m).astype(np.int64),
+        }
+    )
+    edges_path = str(tmp_path / "edges_pq")
+    spark.createDataFrame(pdf).write.parquet(edges_path)
+    out1, out2, out3 = (str(tmp_path / f"out{i}") for i in (1, 2, 3))
+    gt = str(tmp_path / "gtab")
+    ck = str(tmp_path / "ck")
+
+    info = _run(
+        [
+            "--workload", "bc", "--edges", edges_path, "--out", out1,
+            "--root", "0", "--checkpoint-root", ck, "--run-id", "r1",
+            "--snapshot-interval", "3", "--graph-table", gt,
+            "--n-chunks", "4",
+        ]
+    )
+    # both derivation-tagged tables were persisted
+    assert os.path.exists(os.path.join(gt, "manifest.json"))
+    assert os.path.exists(os.path.join(gt + "_t", "manifest.json"))
+
+    from geminigraph_spark.plans.checkpoint import SnapshotStore
+
+    store = SnapshotStore(ck, "r1", "bc")
+    snaps = store.snapshots()
+    levels = int(info["supersteps"])  # fwd + bwd hook calls ≈ supersteps
+    assert levels > 3  # the gating actually had something to gate
+    # every 3rd level + ≤2 phase-transition saves — NOT one per level
+    assert len(snaps) < levels
+    assert len(snaps) <= levels // 3 + 3
+
+    # rerun against the persisted tables: same result, no rebuild crash
+    _run(
+        [
+            "--workload", "bc", "--edges", edges_path, "--out", out2,
+            "--root", "0", "--graph-table", gt, "--n-chunks", "4",
+        ]
+    )
+    a = spark.read.parquet(out1).toPandas().sort_values("id").reset_index(drop=True)
+    b = spark.read.parquet(out2).toPandas().sort_values("id").reset_index(drop=True)
+    assert np.allclose(a["bc"].values, b["bc"].values, atol=0)
+
+    # resume from the gated snapshot log reproduces the straight output
+    _run(
+        [
+            "--workload", "bc", "--edges", edges_path, "--out", out3,
+            "--root", "0", "--checkpoint-root", ck, "--run-id", "r1",
+            "--resume", "--graph-table", gt, "--n-chunks", "4",
+        ]
+    )
+    c = spark.read.parquet(out3).toPandas().sort_values("id").reset_index(drop=True)
+    assert np.allclose(a["bc"].values, c["bc"].values, atol=0)
