@@ -35,7 +35,13 @@ def pagerank_engine(
     undivided final iteration, dangling mass dropped by default;
     ``redistribute_dangling=True`` spreads Σ_{dangling} rank / |V| to
     every vertex instead (textbook power iteration) — the mass sum is a
-    free numpy reduction on the driver-resident state."""
+    free numpy reduction on the driver-resident state.
+
+    Resume contract: snapshots hold the PRE-DIVIDED state except the
+    final iteration's, which is the undivided result (the reference's
+    asymmetric last step). Resuming is therefore valid only toward the
+    SAME ``iters`` target the snapshots were written under — extending a
+    completed run re-feeds the undivided state and is wrong."""
     eng = VertexEngine(graph)
     outd = graph.out_degree.astype(np.float64)
     nz = outd > 0

@@ -50,6 +50,15 @@ def main() -> int:
         help="snapshot every k-th iteration (resume replays ≤ k−1); cuts "
         "per-superstep snapshot I/O on long runs",
     )
+    ap.add_argument(
+        "--keep-snapshots",
+        type=int,
+        default=0,
+        help="retain only the N newest snapshots (expire_snapshots after "
+        "each save — Iceberg-style retention; 0 = keep all). Resume uses "
+        "the newest retained snapshot, so N≥1 preserves resumability "
+        "while bounding checkpoint storage and manifest growth",
+    )
     ap.add_argument("--n-chunks", type=int, default=0)
     ap.add_argument(
         "--graph-table",
@@ -100,12 +109,18 @@ def main() -> int:
     if args.checkpoint_root:
         store = SnapshotStore(args.checkpoint_root, args.run_id, args.workload)
 
+    def _save(i, arr, boundaries, extra=None):
+        sid = store.save(i, arr, boundaries, extra=extra)
+        if args.keep_snapshots > 0:
+            store.expire_snapshots(keep_last=args.keep_snapshots)
+        return sid
+
     def hook(g):
         if store is None:
             return None
         k = max(1, args.snapshot_interval)
         return lambda i, arr: (
-            store.save(i, arr, g.boundaries) if i % k == k - 1 or k == 1 else None
+            _save(i, arr, g.boundaries) if i % k == k - 1 or k == 1 else None
         )
 
     if args.workload == "tc":
@@ -201,7 +216,7 @@ def main() -> int:
             bc_seen["n"] += 1
             if not (first_of_phase or i % k_bc == k_bc - 1):
                 return
-            store.save(
+            _save(
                 next(counter),
                 arrays,
                 g.boundaries,

@@ -28,6 +28,65 @@ def _run(args):
     return json.loads(out[-1]) if out else {}
 
 
+def test_cli_keep_snapshots_retention_and_resume(spark, tmp_path):
+    """--keep-snapshots N: Iceberg-style retention from the CLI — only the
+    N newest snapshots survive, and --resume from the newest retained one
+    still reproduces the uncheckpointed straight run exactly."""
+    rng = np.random.default_rng(4)
+    n, m = 60, 300
+    pdf = pd.DataFrame(
+        {
+            "src": rng.integers(0, n, m).astype(np.int64),
+            "dst": rng.integers(0, n, m).astype(np.int64),
+        }
+    )
+    edges_path = str(tmp_path / "edges_pq")
+    spark.createDataFrame(pdf).write.parquet(edges_path)
+    ck = str(tmp_path / "ck")
+    out_a, out_b, out_c = (str(tmp_path / f"o{i}") for i in "abc")
+
+    # cc run with retention 2 (cc: min-label fixpoint — any snapshot is a
+    # valid resume seed, unlike pagerank whose final iteration is the
+    # undivided state)
+    info = _run(
+        [
+            "--workload", "cc", "--edges", edges_path, "--out", out_a,
+            "--checkpoint-root", ck, "--run-id", "r",
+            "--keep-snapshots", "2", "--n-chunks", "3",
+        ]
+    )
+    from geminigraph_spark.plans.checkpoint import SnapshotStore
+
+    store = SnapshotStore(ck, "r", "cc")
+    log = store.snapshots()
+    iters = int(info["supersteps"])
+    assert iters > 2  # retention had something to expire
+    assert len(log) == 2  # only the 2 newest retained
+    assert [e["iteration"] for e in log] == [iters - 2, iters - 1]
+
+    # resume from the newest retained snapshot: already at the fixpoint,
+    # one verification sweep, identical labels
+    _run(
+        [
+            "--workload", "cc", "--edges", edges_path, "--out", out_b,
+            "--checkpoint-root", ck, "--run-id", "r",
+            "--resume", "--keep-snapshots", "2", "--n-chunks", "3",
+        ]
+    )
+    # straight run, no checkpointing
+    _run(
+        [
+            "--workload", "cc", "--edges", edges_path, "--out", out_c,
+            "--n-chunks", "3",
+        ]
+    )
+    a = spark.read.parquet(out_a).toPandas().sort_values("id").reset_index(drop=True)
+    b = spark.read.parquet(out_b).toPandas().sort_values("id").reset_index(drop=True)
+    c = spark.read.parquet(out_c).toPandas().sort_values("id").reset_index(drop=True)
+    assert np.array_equal(a["label"].values, c["label"].values)
+    assert np.array_equal(b["label"].values, c["label"].values)
+
+
 def test_bc_cli_interval_graph_table_and_resume(spark, tmp_path):
     rng = np.random.default_rng(2)
     n, m = 80, 400
