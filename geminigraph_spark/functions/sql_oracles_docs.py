@@ -14,7 +14,9 @@ from .docpipe import (
     MINHASH_PARAMS,
     NEARDUP_SAMPLE_MOD,
     NEARDUP_THRESHOLD_PPM,
+    SIMHASH64_BITS,
     SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
     SIMHASH_MULT,
     STOP_DE,
     STOP_EN,
@@ -178,6 +180,32 @@ bits AS MATERIALIZED (
 SELECT doc_id,
   CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
+"""
+
+
+def dedup_simhash_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    """Brute-force twin of docpipe.dedup_simhash: every doc pair's exact
+    Hamming distance over the 60-bit fingerprint (no banding — the oracle
+    proves the banded candidate generation is lossless under the
+    pigeonhole threshold)."""
+    return f"""
+WITH {_TOKS},
+{_VOCAB},
+h AS MATERIALIZED (
+  SELECT t.doc_id, (v.vid * {SIMHASH_MULT}) % {MINHASH_P} AS h
+  FROM toks t JOIN vocab v USING (tok)),
+bits AS MATERIALIZED (
+  SELECT doc_id, b.b, SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH64_BITS - 1})) AS b) b
+  GROUP BY doc_id, b.b),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 

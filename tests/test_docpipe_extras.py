@@ -69,6 +69,39 @@ def test_ivf_quantizer_is_sublinear(spark):
     assert centroids_for(1024) <= 2 * centroids_for(256)
 
 
+def test_dedup_simhash_banding_is_lossless(spark):
+    """The banded candidate join must find EVERY pair within the Hamming
+    threshold (pigeonhole: hamming ≤ 3 < 4 bands ⇒ ≥1 identical band) —
+    verified against an in-test brute force over all collected
+    fingerprints, plus output invariants (doc_a < doc_b, hamming ≤ 3)."""
+    import numpy as np
+
+    from geminigraph_spark.functions.docpipe import (
+        SIMHASH64_BITS,
+        SIMHASH_MAX_HAMMING,
+        _simhash_df,
+        dedup_simhash,
+    )
+
+    got = dedup_simhash(spark, SF).toPandas()
+    assert (got["doc_a"] < got["doc_b"]).all()
+    assert (got["hamming"] <= SIMHASH_MAX_HAMMING).all()
+    sh = _simhash_df(spark, SF, SIMHASH64_BITS).toPandas()
+    ids = sh["doc_id"].values
+    vals = sh["simhash"].values.astype(np.int64)
+    x = vals[:, None] ^ vals[None, :]
+    ham = np.zeros_like(x)
+    for b in range(SIMHASH64_BITS):
+        ham += (x >> b) & 1
+    ii, jj = np.where(np.triu(ham <= SIMHASH_MAX_HAMMING, k=1))
+    want = {
+        (min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
+        for i, j in zip(ii, jj)
+    }
+    have = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+    assert have == want  # nothing missed, nothing extra
+
+
 def test_two_level_router_sublinear_flops_and_exactness():
     """VERDICT r3 #4: the coarse→fine router makes per-vector assignment
     FLOPs O(dim·√K·probes) so K can track √N past the old 4096 cap.
