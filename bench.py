@@ -246,15 +246,25 @@ def _pipeline_section(spark, cores: int, sf_dir: str, q: dict, meta: dict) -> No
     cell: dict = {}
 
     def extract_encode():
+        t0 = time.time()
         pages = gen_pages_df(spark, n_pages)
         links = extract_links(pages).persist()
         links.count()
+        t_extract = time.time() - t0
+        t0 = time.time()
         edges_ids, _vdict = encode_edges(links)
         e = edges_ids.select(
             F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
         ).persist()
         cell["n_edges"] = e.count()
         cell["links"], cell["edges"] = links, e
+        # sub-phase split: the leg's run-to-run variance lives in the
+        # encode shuffles, not the (regex-bound, ~300k pages/s/core)
+        # extraction — keep the evidence in the record
+        meta["extract_phases"] = {
+            "gen_extract_s": round(t_extract, 3),
+            "encode_s": round(time.time() - t0, 3),
+        }
 
     # load recorded, no retry: the persisted frames feed every later leg
     _leg(spark, q, meta, "pipe_extract_encode", extract_encode, retry=False)

@@ -54,6 +54,21 @@ def test_token_stats_is_jvm_codegen(spark):
         assert "codegen id" in plan, plan  # formatted mode's codegen marker
 
 
+def test_dedup_simhash_plan_is_jvm_and_pruned(spark):
+    """The simhash near-dup pipeline stays JVM-side end to end (token
+    explode, banded join, xor+bit_count verify — no Python UDF nodes) and
+    the documents scan reads only what tokenization needs."""
+    from geminigraph_spark.functions.docpipe import dedup_simhash
+
+    plan = _formatted(dedup_simhash(spark, SF))
+    assert "EvalPython" not in plan, plan
+    assert "codegen id" in plan, plan
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans
+    for ln in scans:
+        assert "url" not in ln and "quality" not in ln, ln
+
+
 def test_sparse_frontier_join_broadcasts(spark):
     """In sparse/push mode the frontier side of the message join is
     broadcast (graph.hpp:1529-1662 push = frontier replication) — assert
