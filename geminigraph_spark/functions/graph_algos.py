@@ -36,6 +36,14 @@ Checkpointer = Callable[[int, DataFrame], DataFrame]
 #: reference's sparse/dense switch, core/graph.hpp:1502-1508.
 SPARSE_DENOM = 20
 
+#: absolute guard on the broadcast: the /20 rule is RELATIVE, so on a
+#: 10^12-edge graph a "sparse" frontier can still hold 10^8+ rows — far
+#: past what a driver/executor can materialize as a broadcast table.
+#: Frontiers above this row count keep the frontier RESTRICTION (only
+#: changed vertices emit) but join by shuffle instead of broadcast —
+#: same results, bounded memory. ~4M rows ≈ 64 MB at 16 B/row.
+BROADCAST_FRONTIER_MAX = 4_000_000
+
 
 @dataclass
 class DFIterMetrics:
@@ -252,7 +260,7 @@ def _min_fixpoint(
         fr = curr.where("changed").select(
             F.col("id").alias("src"), F.col("val").alias("vsrc")
         )
-        if sparse:
+        if sparse and n_changed <= BROADCAST_FRONTIER_MAX:
             fr = F.broadcast(fr)
         msgs = (
             ew.join(fr, "src")
@@ -364,12 +372,12 @@ def label_propagation(
                 DFIterMetrics(i, "sparse" if sparse else "dense", n_changed, active_edges)
             )
         if sparse:
-            # touched dsts from the broadcast frontier, then ALL in-edges
-            # of those dsts (plain shuffle join on dst — the touched set
-            # is frontier-sized, not broadcastable in general)
-            fr = F.broadcast(
-                curr.where("changed").select(F.col("id").alias("src"))
-            )
+            # touched dsts from the frontier, then ALL in-edges of those
+            # dsts (plain shuffle join on dst — the touched set is
+            # frontier-sized, not broadcastable in general)
+            fr = curr.where("changed").select(F.col("id").alias("src"))
+            if n_changed <= BROADCAST_FRONTIER_MAX:
+                fr = F.broadcast(fr)
             touched = sym.join(fr, "src").select("dst").distinct()
             base = sym.join(touched, "dst")
         else:
@@ -568,7 +576,7 @@ def bc_dataframe(
             if metrics is not None:
                 metrics.append(DFIterMetrics(lv, "sparse" if sparse else "dense", n_new, ae))
             fr = state.where("newly").select(F.col("id").alias("src"), "sigma")
-            if sparse:
+            if sparse and n_new <= BROADCAST_FRONTIER_MAX:
                 fr = F.broadcast(fr)
             msgs = (
                 ew.join(fr, "src")
@@ -642,7 +650,7 @@ def bc_dataframe(
         fr = state.where(F.col("depth") == back + 1).select(
             F.col("id").alias("src"), "dep"
         )
-        if sparse:
+        if sparse and nv <= BROADCAST_FRONTIER_MAX:
             fr = F.broadcast(fr)
         msgs = (
             ewt.join(fr, "src")
