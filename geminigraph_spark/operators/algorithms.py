@@ -79,10 +79,13 @@ def cc_engine(
     """
     eng = VertexEngine(sym_graph)
     n = sym_graph.n_vertices
+    # int32 labels whenever they fit: halves the bytes through the
+    # bandwidth-bound min-combiner hot loop (labels are vertex ids < n)
+    ldt = np.int32 if n < 2**31 else np.int64
     label = (
-        start.astype(np.int64).copy()
+        start.astype(ldt).copy()
         if start is not None
-        else np.arange(n, dtype=np.int64)
+        else np.arange(n, dtype=ldt)
     )
     frontier = np.ones(n, dtype=bool)
     i = start_iter
@@ -283,12 +286,15 @@ def bfs_engine(
     the frontier re-arms every reached vertex."""
     eng = VertexEngine(graph)
     n = graph.n_vertices
-    big = np.iinfo(np.int64).max // 4
+    # int32 depths whenever |V| < 2^31 (graph diameter ≪ 2^29): halves
+    # the bandwidth through the min-combiner hot loop, like cc_engine
+    ldt = np.int32 if n < 2**31 else np.int64
+    big = int(np.iinfo(ldt).max // 4)
     if start is not None:
-        depth = start.astype(np.int64).copy()
+        depth = start.astype(ldt).copy()
         frontier = depth < big
     else:
-        depth = np.full(n, big, dtype=np.int64)
+        depth = np.full(n, big, dtype=ldt)
         depth[root] = 0
         frontier = np.zeros(n, dtype=bool)
         frontier[root] = True

@@ -251,7 +251,11 @@ def _make_task(
                         msgs = msgs + w
                     elif msg_offset:
                         msgs = msgs + msg_offset
-                    ident = np.inf if val_dtype == np.float64 else np.iinfo(np.int64).max
+                    ident = (
+                        np.inf
+                        if val_dtype == np.float64
+                        else np.iinfo(val_dtype).max
+                    )
                     acc = np.full(size, ident, dtype=val_dtype)
                     np.minimum.at(acc, dl, msgs)
                     cnt = np.bincount(dl, minlength=size)
@@ -497,7 +501,17 @@ class VertexEngine:
             )
             if sparse or (dense_selective is not None and dense_selective.all()):
                 dense_selective = None
-        val_dtype = np.float64 if msg_vec.dtype.kind == "f" else np.int64
+        # integer MIN states keep the caller's width: int32 labels (valid
+        # whenever |V| < 2^31) halve the bytes moved by the bandwidth-
+        # bound gather + scatter hot loop — the min combiner is closed
+        # over its inputs so int32 cannot overflow (sum is not: it stays
+        # int64/float64)
+        if msg_vec.dtype.kind == "f":
+            val_dtype = np.float64
+        elif msg_vec.dtype == np.int32 and combiner == "min":
+            val_dtype = np.int32
+        else:
+            val_dtype = np.int64
 
         transport, bc, bytes_shipped, rows_df = self._ship_state(
             msg_vec, frontier, sparse, frontier_ids, dense_selective
