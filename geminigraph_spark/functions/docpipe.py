@@ -42,13 +42,35 @@ SIMHASH_MULT = 2_654_435_761
 #: sign bit and its neighbors stay clear so the banded SUM can never
 #: overflow BIGINT in either engine), 4 bands × 15 bits
 SIMHASH64_BITS = 60
-SIMHASH_BANDS = 4
 #: pigeonhole-exact: hamming ≤ 3 < 4 bands ⇒ the pair agrees on ≥1 whole
 #: band, so banded candidate generation misses NOTHING under the
 #: threshold — the operator is exact, not approximate (measured on the
 #: sf0.01 corpus: true near-dups land at hamming 0-5, unrelated pairs
 #: min 4 / median 11, so 3 is also the natural separation point)
 SIMHASH_MAX_HAMMING = 3
+#: expected rows per candidate bucket the block count is sized for — the
+#: same size-derived discipline as similarity.planes_for
+SIMHASH_TARGET_BUCKET = 128
+
+
+def simhash_blocks_for(
+    n_rows: int, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> int:
+    """Smallest block count B (divisor of 60, > max_hamming) whose
+    Manku-style combination keys — every (B−max_hamming)-subset of the B
+    blocks, key width (B−max_hamming)·(60/B) bits — give ≥ n_rows/128
+    buckets. A fixed 4-block/15-bit banding caps at 2^15 buckets and goes
+    quadratic past ~4M docs; growing B widens the join key (4→15-bit,
+    5→24, 6→30, 10→42, 12→45 keys) at the cost of C(B, max_hamming)
+    tables per doc (4, 10, 20, 120, 220), keeping expected bucket size
+    flat at ANY corpus size. Exactness is preserved at every B: ≤3
+    differing bits touch ≤3 blocks, so some (B−3)-subset matches."""
+    need = max(1, n_rows // SIMHASH_TARGET_BUCKET)
+    for nb in (4, 5, 6, 10, 12, 15):
+        width = (nb - max_hamming) * (SIMHASH64_BITS // nb)
+        if (1 << width) >= need:
+            return nb
+    return 15  # 48-bit keys: enough buckets for ~3.6e16 docs
 NEARDUP_SAMPLE_MOD = 17
 NEARDUP_THRESHOLD_PPM = 250_000
 LSH_JACCARD_MIN_PPM = 500_000
@@ -338,37 +360,51 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(
-    spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: (doc_a, doc_b, hamming) with
     hamming ≤ ``max_hamming`` over the 60-bit fingerprint.
 
-    Scale shape: the fingerprint is split into SIMHASH_BANDS 15-bit
-    bands; candidates are pairs agreeing on ≥1 whole band (a bucket join
-    on (band, band_value) — 32768 buckets per band, so candidate volume
-    is Σ bucket² like MinHash-LSH, never the N² cross join), then the
-    exact Hamming distance is verified with one xor+bit_count per
-    candidate. Because max_hamming < SIMHASH_BANDS, pigeonhole makes the
-    banding lossless: every qualifying pair shares a band, so the result
-    is EXACT and hash-checked against a brute-force DuckDB oracle."""
-    width = SIMHASH64_BITS // SIMHASH_BANDS
+    Scale shape (Manku/Jain/Sarma-style combination banding): the
+    fingerprint splits into B = simhash_blocks_for(N) blocks; candidates
+    are pairs agreeing on SOME (B−max_hamming)-subset of blocks — one
+    bucket-join key per subset, key width (B−max_hamming)·(60/B) bits,
+    sized so expected bucket ≈ SIMHASH_TARGET_BUCKET rows at any corpus
+    size (never the N² cross join). The exact Hamming distance is then
+    verified with one xor+bit_count per candidate. Pigeonhole makes every
+    B lossless: ≤ max_hamming differing bits touch ≤ max_hamming blocks,
+    so some subset matches — the result is EXACT and hash-checked against
+    a brute-force DuckDB oracle (and pinned identical across B in
+    pytest)."""
+    from itertools import combinations
+
     sh = _simhash_df(spark, sf_dir, SIMHASH64_BITS)
+    if n_blocks is None:
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        n_blocks = simhash_blocks_for(n_docs, max_hamming)
+    width = SIMHASH64_BITS // n_blocks
+    block = [
+        F.expr(f"shiftright(simhash, {i * width}) % {1 << width}")
+        for i in range(n_blocks)
+    ]
+    combos = list(combinations(range(n_blocks), n_blocks - max_hamming))
+    # numeric combo key: the selected blocks packed at distinct offsets
+    # (≤48 bits — fits a long); one (band=combo_id, bval=key) row per combo
+    entries = [
+        F.struct(
+            F.lit(ci).alias("band"),
+            sum(
+                (block[b] * F.lit(1 << (j * width)) for j, b in enumerate(combo)),
+                F.lit(0),
+            ).cast("long").alias("bval"),
+        )
+        for ci, combo in enumerate(combos)
+    ]
     bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.expr(
-                            f"shiftright(simhash, {i * width}) % {1 << width}"
-                        ).alias("bval"),
-                    )
-                    for i in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", "simhash", F.explode(F.array(*entries)).alias("bb")
     ).select("doc_id", "simhash", "bb.band", "bb.bval")
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "band", "bval"
