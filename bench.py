@@ -78,11 +78,32 @@ def _cpu_snapshot() -> tuple[int, int]:
     return busy, own
 
 
+def _mem_bandwidth_gbps() -> float:
+    """Direct single-thread memory-bandwidth probe (64 MiB pre-faulted
+    streaming copy). Co-tenant bandwidth theft is INVISIBLE to the
+    CPU-share metric (a neighbor saturating the bus shows ext_cores ≈ 0
+    while the bandwidth-bound kernels run 2-3× slower — measured
+    repeatedly; one contended window delivered 0.01 GB/s to a 1 GiB
+    probe), so each attempt also records what the bus actually delivered.
+    Both buffers are pre-faulted and the size is small so the probe stays
+    bounded (~10 ms quiet) even under severe contention."""
+    import numpy as np
+
+    a = np.ones(1 << 23, dtype=np.float64)  # 64 MiB
+    b = np.empty_like(a)
+    np.copyto(b, a)  # fault dst pages before timing
+    t0 = time.time()
+    np.copyto(b, a)
+    dt = max(time.time() - t0, 1e-9)
+    return (2 * a.nbytes / dt) / 1e9  # read + write
+
+
 def _leg(spark, q: dict, meta: dict, name: str, fn, runs: int = 1,
          retry: bool = True) -> None:
     """Best-of timing with per-attempt load evidence. Each attempt records
-    1-min loadavg (start/end) and ext_cores (average co-tenant busy cores
-    DURING the attempt). If every attempt ran loaded (min ext_cores >
+    1-min loadavg (start/end), ext_cores (average co-tenant busy cores
+    DURING the attempt), and bw_gbps (memory bandwidth the probe saw just
+    before the attempt). If every attempt ran loaded (min ext_cores >
     _LOAD_MAX) and ``retry``, up to _EXTRA_ATTEMPTS more runs are granted;
     exhaustion is recorded explicitly. q[name] = best seconds."""
     clk = os.sysconf("SC_CLK_TCK")
@@ -90,6 +111,7 @@ def _leg(spark, q: dict, meta: dict, name: str, fn, runs: int = 1,
     budget = runs
     while len(attempts) < budget:
         _drain(spark)
+        bw = _mem_bandwidth_gbps()
         l0 = os.getloadavg()[0]
         b0, o0 = _cpu_snapshot()
         t0 = time.time()
@@ -104,6 +126,7 @@ def _leg(spark, q: dict, meta: dict, name: str, fn, runs: int = 1,
                 "load1m_start": round(l0, 2),
                 "load1m_end": round(l1, 2),
                 "ext_cores": round(ext, 2),
+                "bw_gbps": round(bw, 2),
             }
         )
         if (
