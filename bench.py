@@ -40,6 +40,10 @@ import time
 #: using only ~1.4 CPU cores was measured costing the 120M-edge leg 3×
 #: (57.9 s vs 19.3 s quiet) — CPU-share under-detects bandwidth theft
 _LOAD_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "1.25"))
+#: an attempt whose pre-attempt bandwidth probe reads below this is also
+#: treated as loaded (quiet windows on this host deliver ~16-22 GB/s to
+#: the single-thread probe; contended windows 4-6, catastrophic 0.01)
+_BW_MIN = float(os.environ.get("SPARK_GRAFT_BENCH_BW_MIN", "8.0"))
 _EXTRA_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "2"))
 
 
@@ -129,15 +133,20 @@ def _leg(spark, q: dict, meta: dict, name: str, fn, runs: int = 1,
                 "bw_gbps": round(bw, 2),
             }
         )
+        def tainted(a):
+            return a["ext_cores"] > _LOAD_MAX or a["bw_gbps"] < _BW_MIN
+
         if (
             retry
             and len(attempts) == budget
             and budget < runs + _EXTRA_ATTEMPTS
-            and min(a["ext_cores"] for a in attempts) > _LOAD_MAX
+            and all(tainted(a) for a in attempts)
         ):
             budget += 1  # every attempt so far was loaded: one more try
-    rec = {"attempts": attempts, "load_max": _LOAD_MAX}
-    if min(a["ext_cores"] for a in attempts) > _LOAD_MAX:
+    rec = {"attempts": attempts, "load_max": _LOAD_MAX, "bw_min": _BW_MIN}
+    if all(
+        a["ext_cores"] > _LOAD_MAX or a["bw_gbps"] < _BW_MIN for a in attempts
+    ):
         rec["retries_exhausted"] = True  # never saw a quiet window
     meta.setdefault("leg_load", {})[name] = rec
     q[name] = min(a["sec"] for a in attempts)
