@@ -1,8 +1,22 @@
 """Benchmark harness: GTEPS for 20-iteration PageRank + CC (BASELINE.md).
 
-Prints ONE JSON line:
+Output contract (VERDICT r4 #1 — the artifact must parse): the LAST
+stdout line is ONE compact headline JSON (≤ ~4 KB):
   {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...,
-   "gteps": {...}, "graph": {...}}
+   "gteps_*": {...}, "leg_flags": {...}}
+Bulky evidence (per-attempt load/bandwidth records, superstep traces,
+per-run lists) goes to a sidecar file — BENCH_DETAIL.json next to this
+script (override/disable via SPARK_GRAFT_BENCH_DETAIL) — announced by an
+EARLIER stdout line {"detail_file": ...}.
+
+Quiet-certification (VERDICT r4 #2): bench_floors.json records each
+leg's quiet-window best seconds. An attempt slower than floor ×
+_FLOOR_TOL counts as loaded EVEN IF the CPU-share and bandwidth probes
+read quiet — mid-leg hypervisor bandwidth theft is invisible to both
+probes (measured: ext_cores 0.0 + bw 18 GB/s while the leg ran 1.6×
+slow), so the throughput itself is the most sensitive contention
+detector this sandbox has. Floors apply only when the run's config
+(V/E/cores/sf) matches the floors file; quiet new bests update it.
 
 Two sections, mirroring the reference protocol (compute-only timing,
 toolkits/pagerank.cpp:27-28, 102-105):
@@ -45,6 +59,59 @@ _LOAD_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "1.25"))
 #: the single-thread probe; contended windows 4-6, catastrophic 0.01)
 _BW_MIN = float(os.environ.get("SPARK_GRAFT_BENCH_BW_MIN", "8.0"))
 _EXTRA_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "2"))
+#: an attempt slower than floor × this is treated as loaded regardless of
+#: what the CPU-share / bandwidth probes read (throughput < 80% of the
+#: quiet record ⇒ something external is eating the bus)
+_FLOOR_TOL = float(os.environ.get("SPARK_GRAFT_BENCH_FLOOR_TOL", "1.25"))
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_FLOORS_PATH = os.path.join(_REPO_DIR, "bench_floors.json")
+
+
+def _load_floors(cores: int, sf: str) -> dict:
+    """Per-leg quiet-record best seconds, applied ONLY when the run's
+    config matches the one the floors were recorded under (a scaling leg
+    at 8 cores or a 240M-edge graph must not be judged by the 32-core
+    30M-edge records)."""
+    v = int(os.environ.get("SPARK_GRAFT_BENCH_V", 1_000_000))
+    e = int(os.environ.get("SPARK_GRAFT_BENCH_E", 30_000_000))
+    try:
+        with open(_FLOORS_PATH) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    cfg = d.get("config", {})
+    if (
+        cfg.get("V") != v
+        or cfg.get("E") != e
+        or cfg.get("cores") != cores
+        or str(cfg.get("sf")) != str(sf)
+    ):
+        return {}
+    if "SPARK_GRAFT_BENCH_FLOOR_TOL" not in os.environ and "tolerance" in d:
+        global _FLOOR_TOL
+        _FLOOR_TOL = float(d["tolerance"])
+    return d.get("floors_sec", {})
+
+
+def _update_floors(updates: dict) -> None:
+    """Fold quiet-window new bests back into bench_floors.json so the
+    record ratchets tighter round over round."""
+    if not updates:
+        return
+    try:
+        with open(_FLOORS_PATH) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return
+    fl = d.setdefault("floors_sec", {})
+    for k, v in updates.items():
+        fl[k] = round(min(fl.get(k, v), v), 3)
+    tmp = _FLOORS_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(d, f, indent=2, sort_keys=True)
+        f.write("\n")
+    os.replace(tmp, _FLOORS_PATH)
 
 
 def _cpu_snapshot() -> tuple[int, int]:
@@ -107,12 +174,25 @@ def _leg(spark, q: dict, meta: dict, name: str, fn, runs: int = 1,
     """Best-of timing with per-attempt load evidence. Each attempt records
     1-min loadavg (start/end), ext_cores (average co-tenant busy cores
     DURING the attempt), and bw_gbps (memory bandwidth the probe saw just
-    before the attempt). If every attempt ran loaded (min ext_cores >
-    _LOAD_MAX) and ``retry``, up to _EXTRA_ATTEMPTS more runs are granted;
-    exhaustion is recorded explicitly. q[name] = best seconds."""
+    before the attempt). An attempt is "loaded" when ext_cores > _LOAD_MAX
+    OR bw_gbps < _BW_MIN OR — the most sensitive detector — its time
+    lands above floor × _FLOOR_TOL of the leg's quiet record
+    (meta["floors"], from bench_floors.json). If every attempt ran loaded
+    and ``retry``, up to _EXTRA_ATTEMPTS more runs are granted; exhaustion
+    and a best-still-below-floor outcome are recorded explicitly.
+    q[name] = best seconds."""
     clk = os.sysconf("SC_CLK_TCK")
+    floor = meta.get("floors", {}).get(name)
     attempts = []
     budget = runs
+
+    def tainted(a):
+        return (
+            a["ext_cores"] > _LOAD_MAX
+            or a["bw_gbps"] < _BW_MIN
+            or a.get("below_floor", False)
+        )
+
     while len(attempts) < budget:
         _drain(spark)
         bw = _mem_bandwidth_gbps()
@@ -124,32 +204,41 @@ def _leg(spark, q: dict, meta: dict, name: str, fn, runs: int = 1,
         b1, o1 = _cpu_snapshot()
         l1 = os.getloadavg()[0]
         ext = max(0.0, ((b1 - b0) - (o1 - o0)) / clk / max(sec, 1e-9))
-        attempts.append(
-            {
-                "sec": round(sec, 3),
-                "load1m_start": round(l0, 2),
-                "load1m_end": round(l1, 2),
-                "ext_cores": round(ext, 2),
-                "bw_gbps": round(bw, 2),
-            }
-        )
-        def tainted(a):
-            return a["ext_cores"] > _LOAD_MAX or a["bw_gbps"] < _BW_MIN
-
+        a = {
+            "sec": round(sec, 3),
+            "load1m_start": round(l0, 2),
+            "load1m_end": round(l1, 2),
+            "ext_cores": round(ext, 2),
+            "bw_gbps": round(bw, 2),
+        }
+        if floor is not None and sec > floor * _FLOOR_TOL:
+            a["below_floor"] = True
+        attempts.append(a)
         if (
             retry
             and len(attempts) == budget
             and budget < runs + _EXTRA_ATTEMPTS
-            and all(tainted(a) for a in attempts)
+            and all(tainted(x) for x in attempts)
         ):
             budget += 1  # every attempt so far was loaded: one more try
     rec = {"attempts": attempts, "load_max": _LOAD_MAX, "bw_min": _BW_MIN}
-    if all(
-        a["ext_cores"] > _LOAD_MAX or a["bw_gbps"] < _BW_MIN for a in attempts
-    ):
+    if floor is not None:
+        rec["floor_sec"] = floor
+    if all(tainted(a) for a in attempts):
         rec["retries_exhausted"] = True  # never saw a quiet window
+    best = min(attempts, key=lambda a: a["sec"])
+    if floor is not None and best["sec"] > floor * _FLOOR_TOL:
+        rec["below_floor"] = True  # even the best run missed the record
+    if (
+        meta.get("floors_enabled")
+        and best["ext_cores"] <= _LOAD_MAX
+        and best["bw_gbps"] >= _BW_MIN
+        and (floor is None or best["sec"] < floor)
+    ):
+        # a probe-quiet new record: ratchet the floor for future runs
+        meta.setdefault("floor_updates", {})[name] = best["sec"]
     meta.setdefault("leg_load", {})[name] = rec
-    q[name] = min(a["sec"] for a in attempts)
+    q[name] = best["sec"]
 
 
 def _drain(spark, secs: float = 2.0) -> None:
@@ -348,6 +437,32 @@ def _pipeline_section(spark, cores: int, sf_dir: str, q: dict, meta: dict) -> No
         }
         for m in cell["lp_eng"].metrics
     ]
+    # VERDICT r4 #4: run LP to CONVERGENCE (untimed) so the official
+    # artifact shows the /20 mode flip and the processed_edges collapse —
+    # at 10 iterations the bench graph legitimately never leaves dense
+    # mode, so the 10-iter trace alone can't evidence the restriction
+    from geminigraph_spark.operators.algorithms import lp_engine as _lp_full
+
+    _lab, conv_eng = _lp_full(sym, iters=100)
+    meta["lp_supersteps_convergence"] = [
+        {
+            "mode": m.mode,
+            "active_vertices": m.active_vertices,
+            "processed_edges": m.processed_edges,
+        }
+        for m in conv_eng.metrics
+    ]
+    ls = meta["lp_supersteps_convergence"]
+    meta["lp_convergence"] = {
+        "supersteps": len(ls),
+        "sparse_supersteps": sum(1 for s in ls if s["mode"] == "sparse"),
+        "first_sparse": next(
+            (i for i, s in enumerate(ls) if s["mode"] == "sparse"), None
+        ),
+        "min_processed_edges": min(s["processed_edges"] for s in ls),
+        "n_edges": sym.n_edges if hasattr(sym, "n_edges") else None,
+    }
+    conv_eng.close()
 
     # DataFrame-path kernels (the distributed-state scale path) on the
     # same edges — single runs, reported but excluded from the headline
@@ -394,18 +509,26 @@ def run_bench(sf_dir: str, cores: int, synth_only: bool = False) -> dict:
     )
     q: dict[str, float] = {}
     meta: dict = {}
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    floors = _load_floors(cores, sf)
+    if floors:
+        meta["floors"] = floors
+        meta["floors_enabled"] = True
     if not synth_only:
         _pipeline_section(spark, cores, sf_dir, q, meta)
     _synth_section(spark, cores, q, meta)
     if not synth_only and os.environ.get("SPARK_GRAFT_BENCH_LARGE", "1") == "1":
         _synth_large_section(spark, q, meta)
+    upd = meta.get("floor_updates", {})
+    _update_floors(upd)  # quiet new bests ratchet the committed record
+    meta.pop("floors", None)
+    meta.pop("floors_enabled", None)
 
     exec_keys = [
         k
         for k in ("pipe_pagerank20", "pipe_cc", "synth_pagerank20", "synth_cc")
         if k in q
     ]
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "pagerank20_plus_cc_exec_sec",
         "value": round(sum(q[k] for k in exec_keys), 3),
@@ -417,6 +540,40 @@ def run_bench(sf_dir: str, cores: int, synth_only: bool = False) -> dict:
     }
     spark.stop()
     return result
+
+
+#: result keys that carry bulky per-attempt / per-superstep evidence —
+#: they move to the sidecar so the headline line stays parseable inside
+#: the driver's tail-capture window (VERDICT r4 #1)
+_DETAIL_KEYS = (
+    "leg_load",
+    "lp_supersteps",
+    "lp_supersteps_convergence",
+    "extract_phases",
+)
+
+
+def split_result(result: dict) -> tuple[dict, dict]:
+    """(headline, detail): headline keeps metric/value/queries/gteps plus
+    a compact per-leg quiet-certification summary (leg_flags); everything
+    bulky moves to detail. The headline must stay ≤ ~4 KB."""
+    detail = {k: result.pop(k) for k in _DETAIL_KEYS if k in result}
+    for sect in ("synth",):
+        for k in ("pagerank_runs", "cc_runs"):
+            if k in result.get(sect, {}):
+                detail.setdefault("synth_runs", {})[k] = result[sect].pop(k)
+    flags = {}
+    for leg, rec in detail.get("leg_load", {}).items():
+        f: dict = {"attempts": len(rec["attempts"])}
+        for key in ("retries_exhausted", "below_floor"):
+            if rec.get(key):
+                f[key] = True
+        if "floor_sec" in rec:
+            f["floor_sec"] = rec["floor_sec"]
+        flags[leg] = f
+    if flags:
+        result["leg_flags"] = flags
+    return result, detail
 
 
 def run_scaling(sf_dir: str, cores_list: list[int]) -> dict:
@@ -433,6 +590,9 @@ def run_scaling(sf_dir: str, cores_list: list[int]) -> dict:
         for n in sorted(cores_list, reverse=True):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
             env["SPARK_GRAFT_BENCH_SPILL"] = shared
+            # scaling legs don't persist sidecars (they'd overwrite the
+            # main run's); their leg detail lives in this dict's stdout
+            env.setdefault("SPARK_GRAFT_BENCH_DETAIL", "")
             env.setdefault("SPARK_GRAFT_BENCH_V", "1000000")
             env.setdefault("SPARK_GRAFT_BENCH_E", "240000000")
             env.setdefault("SPARK_GRAFT_BENCH_REPEATS", "3")
@@ -444,6 +604,13 @@ def run_scaling(sf_dir: str, cores_list: list[int]) -> dict:
             if not lines:
                 raise RuntimeError(f"bench subprocess failed: {p.stderr[-2000:]}")
             out[n] = json.loads(lines[-1])
+            for ln in lines[:-1]:  # re-attach the leg's load evidence
+                try:
+                    d = json.loads(ln)
+                except ValueError:
+                    continue
+                if "detail" in d:
+                    out[n]["leg_load"] = d["detail"].get("leg_load")
     finally:
         if own_spill:
             shutil.rmtree(shared, ignore_errors=True)
@@ -460,7 +627,11 @@ def run_scaling(sf_dir: str, cores_list: list[int]) -> dict:
         "unit": "ratio",
         "pairs": pairs,
         "legs": {
-            str(n): {"exec_sec": out[n]["value"], "gteps": out[n]["gteps_synth"]}
+            str(n): {
+                "exec_sec": out[n]["value"],
+                "gteps": out[n]["gteps_synth"],
+                "leg_load": out[n].get("leg_load"),
+            }
             for n in sorted(out)
         },
         "graph": out[max(out)]["synth"],
@@ -480,4 +651,21 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling(sf_dir, cores_list)))
     else:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-        print(json.dumps(run_bench(sf_dir, cores, synth_only="--synth-only" in args)))
+        res = run_bench(sf_dir, cores, synth_only="--synth-only" in args)
+        headline, detail = split_result(res)
+        detail_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_DETAIL",
+            os.path.join(_REPO_DIR, "BENCH_DETAIL.json"),
+        )
+        if detail_path:
+            with open(detail_path, "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
+                f.write("\n")
+            print(json.dumps({"detail_file": detail_path}))
+        else:
+            # no sidecar (scaling subprocess): detail goes out as its own
+            # EARLIER line for the parent to pick up
+            print(json.dumps({"detail": detail}))
+        # the compact headline is the FINAL line — the only line the
+        # driver's tail capture must parse (VERDICT r4 #1)
+        print(json.dumps(headline))

@@ -38,15 +38,24 @@ MINHASH_PARAMS = [
 FP_MOD = 1_000_003
 SIMHASH_BITS = 16
 SIMHASH_MULT = 2_654_435_761
+#: second independent multiplier (xxHash PRIME32_2) for the WIDE
+#: fingerprint: a single (vid·M) % (2³¹−1) hash is < 2³¹, so bits 31-59
+#: of a "60-bit" fingerprint built from it are constant −1 contributions
+#: for every doc — any band combo selecting only those bits keys the
+#: ENTIRE corpus into one bucket (the N² blowup banding exists to
+#: prevent) and the real hamming separation is over ~31 bits (ADVICE r4
+#: high). The wide hash therefore concatenates two independent 31-bit
+#: multiplicative hashes, 30 low bits each: genuinely 60 mixed bits.
+SIMHASH_MULT2 = 2_246_822_519
 #: the near-dup variant uses a wider fingerprint: 60 bits (not 64 — the
 #: sign bit and its neighbors stay clear so the banded SUM can never
 #: overflow BIGINT in either engine), 4 bands × 15 bits
 SIMHASH64_BITS = 60
 #: pigeonhole-exact: hamming ≤ 3 < 4 bands ⇒ the pair agrees on ≥1 whole
 #: band, so banded candidate generation misses NOTHING under the
-#: threshold — the operator is exact, not approximate (measured on the
-#: sf0.01 corpus: true near-dups land at hamming 0-5, unrelated pairs
-#: min 4 / median 11, so 3 is also the natural separation point)
+#: threshold — the operator is exact, not approximate (with all 60 bits
+#: live, true near-dups land at hamming 0-3 on the sf0.01 corpus while
+#: unrelated pairs sit near 30, a wide separation margin)
 SIMHASH_MAX_HAMMING = 3
 #: expected rows per candidate bucket the block count is sized for — the
 #: same size-derived discipline as similarity.planes_for
@@ -337,10 +346,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_df(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
     """(doc_id, simhash) — ``bits``-wide SimHash over the token-occurrence
-    multiset (vocab-ranked ids rehashed with a Knuth multiplier)."""
+    multiset (vocab-ranked ids rehashed with a Knuth multiplier). Widths
+    beyond 30 bits use the two-hash concatenation (see SIMHASH_MULT2):
+    every one of the ``bits`` positions carries an independent coin flip,
+    so no band of dedup_simhash can degenerate to a constant key."""
     toks = _doc_tokens(spark, sf_dir)
     vocab = _token_vocab(toks.distinct())
-    h = (F.col("vid") * F.lit(SIMHASH_MULT)) % F.lit(MINHASH_P)
+    h1 = (F.col("vid") * F.lit(SIMHASH_MULT)) % F.lit(MINHASH_P)
+    if bits <= 30:
+        h = h1
+    else:
+        h2 = (F.col("vid") * F.lit(SIMHASH_MULT2)) % F.lit(MINHASH_P)
+        h = (h1 % F.lit(1 << 30)) * F.lit(1 << 30) + (h2 % F.lit(1 << 30))
     tv = toks.join(vocab, "tok").select("doc_id", h.alias("h"))
     bdf = tv.select(
         "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")

@@ -18,6 +18,7 @@ from .docpipe import (
     SIMHASH_BITS,
     SIMHASH_MAX_HAMMING,
     SIMHASH_MULT,
+    SIMHASH_MULT2,
     STOP_DE,
     STOP_EN,
     STOP_ES,
@@ -187,12 +188,16 @@ def dedup_simhash_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
     """Brute-force twin of docpipe.dedup_simhash: every doc pair's exact
     Hamming distance over the 60-bit fingerprint (no banding — the oracle
     proves the banded candidate generation is lossless under the
-    pigeonhole threshold)."""
+    pigeonhole threshold). The fingerprint hash is the two-multiplier
+    30+30-bit concatenation (docpipe.SIMHASH_MULT2): all 60 bit positions
+    are live, so no band key is constant across the corpus."""
     return f"""
 WITH {_TOKS},
 {_VOCAB},
 h AS MATERIALIZED (
-  SELECT t.doc_id, (v.vid * {SIMHASH_MULT}) % {MINHASH_P} AS h
+  SELECT t.doc_id,
+    (((v.vid * {SIMHASH_MULT}) % {MINHASH_P}) % {1 << 30}) * {1 << 30}
+      + (((v.vid * {SIMHASH_MULT2}) % {MINHASH_P}) % {1 << 30}) AS h
   FROM toks t JOIN vocab v USING (tok)),
 bits AS MATERIALIZED (
   SELECT doc_id, b.b, SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s

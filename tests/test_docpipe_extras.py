@@ -102,6 +102,39 @@ def test_dedup_simhash_banding_is_lossless(spark):
     assert have == want  # nothing missed, nothing extra
 
 
+def test_dedup_simhash_every_block_has_live_bits(spark):
+    """ADVICE r4 (high): the old 60-bit fingerprint was built from a
+    single 31-bit hash, so bits 31-59 were constant for every doc — any
+    band combo over those blocks keyed the whole corpus into ONE bucket
+    (an N² self-join). With the two-hash 30+30 concatenation every block
+    of the fingerprint must show > 1 distinct value on the fixture corpus
+    (i.e. no band key can be constant)."""
+    import numpy as np
+
+    from geminigraph_spark.functions.docpipe import (
+        SIMHASH64_BITS,
+        _simhash_df,
+        simhash_blocks_for,
+    )
+
+    sh = _simhash_df(spark, SF, SIMHASH64_BITS).toPandas()
+    vals = sh["simhash"].values.astype(np.int64)
+    n_docs = len(vals)
+    for nb in (4, 5, 6):
+        width = SIMHASH64_BITS // nb
+        for i in range(nb):
+            block = (vals >> (i * width)) & ((1 << width) - 1)
+            distinct = len(np.unique(block))
+            assert distinct > 1, (
+                f"block {i}/{nb} is constant across {n_docs} docs — "
+                "that band's bucket join is the full cross product"
+            )
+            # and the expected-bucket discipline holds: with live bits the
+            # largest single bucket must be far below the corpus size
+            _, counts = np.unique(block, return_counts=True)
+            assert counts.max() < n_docs
+
+
 def test_dedup_simhash_combination_banding_invariant(spark):
     """The Manku-style combination banding must yield the IDENTICAL pair
     set at every block count (pigeonhole exactness is B-independent; only
@@ -175,6 +208,85 @@ def test_two_level_router_sublinear_flops_and_exactness():
     # 10⁴× the corpus: ≪10⁴× assignment work, ~√-growth candidate sets
     assert hi["assign_flops_per_vector"] < 20 * lo["assign_flops_per_vector"]
     assert hi["candidates_per_query"] < 200 * lo["candidates_per_query"]
+
+
+def test_two_level_assign_empty_cell_fallback():
+    """ADVICE r4 low: a row whose probed coarse cells are ALL empty used
+    to fall out of the candidate set and be silently assigned fine
+    centroid 0 for every slot. Such rows must instead get their true
+    exhaustive nearest centroids."""
+    import numpy as np
+
+    from geminigraph_spark.functions.similarity import _two_level_assign
+
+    dim = 4
+    # two orthogonal coarse directions; EVERY fine centroid lives in cell
+    # 0's direction, so cell 1 is empty
+    coarse = np.eye(2, dim)
+    cn = np.zeros((3, dim))
+    cn[:, 0] = 1.0
+    cn[0, 1], cn[1, 1], cn[2, 1] = 0.01, 0.02, 0.03
+    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+    cell_of = np.zeros(len(cn), dtype=np.int64)  # all in cell 0
+    forder = np.argsort(cell_of, kind="stable").astype(np.int64)
+    fb = np.searchsorted(cell_of[forder], np.arange(len(coarse) + 1))
+    # query aligned with cell 1 (its single probe hits the EMPTY cell)
+    m = np.array([[0.0, 1.0, 0.0, 0.0]])
+    top, _fl = _two_level_assign(m, cn, coarse, forder, fb, 2, coarse_probes=1)
+    want = np.argsort(-(m @ cn.T), axis=1)[:, :2]
+    assert np.array_equal(top, want), f"fallback gave {top}, want {want}"
+    # a mixed batch: covered rows keep their routed answers
+    m2 = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]])
+    top2, _ = _two_level_assign(m2, cn, coarse, forder, fb, 2, coarse_probes=1)
+    assert np.array_equal(
+        top2[1], np.argsort(-(m2[1:] @ cn.T), axis=1)[0, :2]
+    )
+
+
+def test_ivf_index_persistence_no_retraining(spark, tmp_path, monkeypatch):
+    """VERDICT r4 #6: build the IVF index once (save_ivf_index), then
+    query the RELOADED index — identical top-k to the inline path, with
+    train_ivf_centroids provably never called at query time (a real
+    pipeline separates build and query jobs)."""
+    import numpy as np
+
+    from geminigraph_spark.functions import similarity as S
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = e.count()
+    idx_path = str(tmp_path / "ivf_index")
+    manifest = S.save_ivf_index(e, idx_path, n_rows=n)
+    assert manifest["k"] == S.centroids_for(n)
+
+    # the inline reference result, trained with identical determinism
+    cents = S.train_ivf_centroids(e, n)
+    want = (
+        S._ivf_topk_df(e, 20, 3, cents=cents)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+
+    # query time: ANY training attempt is a failure
+    def _boom(*a, **kw):
+        raise AssertionError("query path retrained the quantizer")
+
+    monkeypatch.setattr(S, "train_ivf_centroids", _boom)
+    queries = e.where("vec_id < 20")
+    got = (
+        S.ivf_topk_from_index(spark, idx_path, queries, k=3)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ("query_id", "neighbor_id", "rnk", "sim_ppm"):
+        assert np.array_equal(got[c].values, want[c].values), c
+
+    # reload alone must round-trip the exact centroid matrix
+    cents2, _cands, mf = S.load_ivf_index(spark, idx_path)
+    assert np.allclose(cents2, cents, atol=0)
+    assert mf["n_rows"] == n
 
 
 def test_two_level_routed_recall_clustered(spark):

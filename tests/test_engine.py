@@ -238,6 +238,160 @@ def test_dense_superstep_ships_chunk_slices_on_cluster_transport(spark):
     g.unpersist()
 
 
+def test_sliced_transport_byte_inequality_and_fallback(spark):
+    """VERDICT r4 #9 + ADVICE r4 medium: on a multi-chunk graph with a
+    SKEWED src distribution, the sliced dense transport ships
+    Σ|usrcs|·itemsize bytes — pinned as inequalities: ≤ |E|·itemsize and
+    < |V|·n_chunks·itemsize (what full-vector replication would cost).
+    Past SLICED_SHIP_MAX_BYTES the engine must fall back to ONE broadcast
+    of the |V| vector (bounded driver residency), with identical results
+    and an empty _usrcs_cache."""
+    from geminigraph_spark.operators import engine as E
+
+    n, m, n_chunks = 3000, 2000, 6
+    rng = np.random.default_rng(7)
+    # skew: 80% of edges leave a 20-vertex hub set, so chunks share srcs
+    hub = rng.integers(0, 20, int(m * 0.8))
+    tail = rng.integers(0, n, m - len(hub))
+    src = np.sort(np.concatenate([hub, tail]).astype(np.int64))
+    dst = rng.integers(0, n, m).astype(np.int64)
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(src, dst)], "src long, dst long"
+    )
+    g = ChunkedGraph.build(spark, df, n_chunks=n_chunks, n_vertices=n)
+    state = rng.random(n)
+
+    eng = VertexEngine(g, transport="bc")
+    ids_s, vals_s = eng.edge_aggregate(state, "sum", iteration=0)
+    assert eng.metrics[-1].mode == "dense"
+    shipped = eng.metrics[-1].bytes_shipped
+    tot_usrcs = eng._usrcs_total()
+    assert shipped == tot_usrcs * 8  # float64 slices, nothing else
+    assert shipped <= m * 8, "sliced shipment exceeded the |E| bound"
+    assert shipped < n * n_chunks * 8, "no cheaper than full replication"
+    assert eng._usrcs_cache  # sliced path populated the cache
+    eng.close()
+    assert not eng._usrcs_cache and eng._usrcs_total_cache is None
+
+    # force the fallback: cap of 0 bytes → broadcast path, same answer
+    old = E.SLICED_SHIP_MAX_BYTES
+    E.SLICED_SHIP_MAX_BYTES = 0
+    try:
+        eng2 = VertexEngine(g, transport="bc")
+        ids_b, vals_b = eng2.edge_aggregate(state, "sum", iteration=0)
+        assert not eng2._usrcs_cache  # fallback never materializes slices
+        eng2.close()
+    finally:
+        E.SLICED_SHIP_MAX_BYTES = old
+    os_, ob_ = np.argsort(ids_s), np.argsort(ids_b)
+    assert np.array_equal(np.asarray(ids_s)[os_], np.asarray(ids_b)[ob_])
+    assert np.allclose(
+        np.asarray(vals_s)[os_], np.asarray(vals_b)[ob_], atol=0
+    )
+    g.unpersist()
+
+
+def test_bfs_resume_from_wider_dtype_snapshot(built):
+    """ADVICE r4 medium: a depth snapshot written by an int64-state build
+    stores unreached as iinfo(int64).max//4; resuming it through the
+    int32 build must remap the sentinel, not wrap it into garbage."""
+    src, dst, w, n, g, sym, wg = built
+    root = int(src[0])
+    snaps = {}
+    want, _ = bfs_engine(
+        g, root=root, on_state=lambda i, a: snaps.__setitem__(i, a.copy())
+    )
+    mid = sorted(snaps)[len(snaps) // 2]
+    big32 = np.iinfo(np.int32).max // 4
+    big64 = np.iinfo(np.int64).max // 4
+    old_style = snaps[mid].astype(np.int64)
+    old_style[old_style >= big32] = big64  # what an int64 build wrote
+    got, _ = bfs_engine(g, root=root, start=old_style, start_iter=mid + 1)
+    assert np.array_equal(got, want)
+
+
+def test_cc_warm_start_on_appended_edges(spark, built):
+    """VERDICT r4 #8: a crawl grows — CC warm-started from the prior
+    run's converged labels over the appended graph must reach the cold
+    run's labels EXACTLY (HashMin min-id argument) in measurably fewer
+    supersteps, seeding only the append sites."""
+    from geminigraph_spark.operators.algorithms import cc_engine_warm
+
+    src, dst, w, n, g, sym, wg = built
+    prior, _eng0 = cc_engine(sym)
+
+    # append ~1% new edges, including 3 that touch NEW vertices
+    rng = np.random.default_rng(99)
+    n_new = n + 3
+    a_src = np.concatenate([rng.integers(0, n, 9), [n, n + 1, 17]])
+    a_dst = np.concatenate([rng.integers(0, n, 9), [3, n + 2, n]])
+    all_src = np.concatenate([src, a_src])
+    all_dst = np.concatenate([dst, a_dst])
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(all_src, all_dst)],
+        "src long, dst long",
+    )
+    from geminigraph_spark.functions.edges import symmetrize_df
+
+    sym2 = ChunkedGraph.build(
+        spark, symmetrize_df(df), n_chunks=5, n_vertices=n_new
+    )
+    cold, eng_cold = cc_engine(sym2)
+    warm, eng_warm = cc_engine_warm(sym2, prior, a_src, a_dst)
+    assert np.array_equal(warm, cold)
+    assert len(eng_warm.metrics) < len(eng_cold.metrics), (
+        f"warm {len(eng_warm.metrics)} vs cold {len(eng_cold.metrics)}"
+    )
+    # the first warm superstep is frontier-restricted, not a full sweep
+    assert eng_warm.metrics[0].active_edges < eng_cold.metrics[0].active_edges
+    sym2.unpersist()
+
+
+def test_lp_warm_start_restricted_equals_full(spark, built):
+    """LP warm start: when the prior labels are a FIXPOINT of the old
+    graph, seeding only the appended-edge endpoints + new vertices is
+    equivalent to the full "everyone" resume sweep (only vertices whose
+    in-multiset changed can flip) — identical labels, less first-sweep
+    work."""
+    from geminigraph_spark.operators.algorithms import (
+        append_frontier,
+        extend_labels,
+    )
+
+    src, dst, w, n, g, sym, wg = built
+    # run to fixpoint (early exit) so the prior state is converged
+    prior, _ = lp_engine(sym, iters=100)
+
+    rng = np.random.default_rng(31)
+    n_new = n + 2
+    a_src = np.concatenate([rng.integers(0, n, 8), [n]])
+    a_dst = np.concatenate([rng.integers(0, n, 8), [n + 1]])
+    all_src = np.concatenate([src, a_src])
+    all_dst = np.concatenate([dst, a_dst])
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(all_src, all_dst)],
+        "src long, dst long",
+    )
+    from geminigraph_spark.functions.edges import symmetrize_df
+
+    sym2 = ChunkedGraph.build(
+        spark, symmetrize_df(df), n_chunks=5, n_vertices=n_new
+    )
+    start = extend_labels(prior, n_new)
+    full, eng_full = lp_engine(sym2, iters=8, start=start)
+    restr, eng_restr = lp_engine(
+        sym2,
+        iters=8,
+        start=start,
+        start_frontier=append_frontier(n_new, n, a_src, a_dst),
+    )
+    assert np.array_equal(restr, full)
+    assert (
+        eng_restr.metrics[0].active_edges < eng_full.metrics[0].active_edges
+    )
+    sym2.unpersist()
+
+
 def test_pagerank_engine_matches_dataframe_path(spark, built):
     src, dst, w, n, g, sym, wg = built
     from geminigraph_spark.functions.graph_algos import pagerank

@@ -54,6 +54,67 @@ def test_all_three_href_quote_forms_extracted():
     assert list(got["link_pos"]) == [0, 1, 2, 3, 4]
 
 
+def test_full_relative_url_resolution():
+    """VERDICT r4 #3: path-relative, dot-segment, protocol-relative and
+    scheme-noise hrefs — the pinned RFC 3986-style resolution. Dropped
+    (non-http) anchors occupy no link_pos."""
+    html = (
+        "<html><body>"
+        '<a href="sub/page.html">path-rel</a>'          # merge onto dir
+        '<a href="../up.html">dotdot</a>'               # climb one level
+        '<a href="//other.example/z">proto-rel</a>'     # scheme inherit
+        '<a href="mailto:x@y.example">DROPPED</a>'      # non-http scheme
+        '<a href="a/b/../../c.html">chain</a>'          # ../.. chain
+        '<a href="javascript:void(0)">DROPPED</a>'
+        '<a href="/abs/./x/../y.html">root dotty</a>'   # root-rel + dots
+        '<a href="ftp://f.example/file">DROPPED</a>'
+        '<a href="https://keep.example/k">absolute</a>'
+        '<a href="./here.html">dot-slash</a>'
+        "</body></html>"
+    ).encode()
+    pdf = pd.DataFrame(
+        {"url": ["https://s.example/dir/page.html"], "html": [html]}
+    )
+    got = links_from_pandas(pdf)
+    assert list(got["dst_url"]) == [
+        "https://s.example/dir/sub/page.html",
+        "https://s.example/up.html",
+        "https://other.example/z",
+        "https://s.example/dir/c.html",
+        "https://s.example/abs/y.html",
+        "https://keep.example/k",
+        "https://s.example/dir/here.html",
+    ]
+    # positions are contiguous over EMITTED links (dropped links skip)
+    assert list(got["link_pos"]) == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_dot_segments_cannot_climb_above_root():
+    html = b'<a href="../../../etc/passwd">x</a><a href="/../y">y</a>'
+    pdf = pd.DataFrame({"url": ["https://h.example/a/b"], "html": [html]})
+    got = links_from_pandas(pdf)
+    assert list(got["dst_url"]) == [
+        "https://h.example/etc/passwd",
+        "https://h.example/y",
+    ]
+
+
+def test_fixture_emits_noise_and_all_relative_forms():
+    """Fixture/extractor lockstep for the r5 forms: the generated HTML
+    carries path-relative, dot-segment, protocol-relative and
+    mailto:/javascript: hrefs, and golden parity (tests above) proves the
+    extractor resolves/drops them all."""
+    blob = b"".join(gen_pages_pandas(2000)["html"].values).decode()
+    assert "href=../p/" in blob or "href='../p/" in blob or 'href="../p/' in blob
+    assert 'href="//site' in blob or "href=//site" in blob or "href='//site" in blob
+    assert "mailto:" in blob
+    assert "javascript:" in blob
+    # path-relative: a bare-digit href in some quote form
+    import re
+
+    assert re.search(r"""href=["']?\d{1,2}["'>#?]""", blob)
+
+
 def test_fixture_exercises_all_quote_forms():
     """Fixture/extractor lockstep: the generated HTML embeds every quote
     form, so the golden-edge parity tests above pin the full grammar."""
