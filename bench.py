@@ -214,6 +214,7 @@ def _leg(spark, q: dict, meta: dict, name: str, fn, runs: int = 1,
         if floor is not None and sec > floor * _FLOOR_TOL:
             a["below_floor"] = True
         attempts.append(a)
+        print(f"[bench] {name} attempt {len(attempts)}: {a}", file=sys.stderr)
         if (
             retry
             and len(attempts) == budget
@@ -443,7 +444,7 @@ def _pipeline_section(spark, cores: int, sf_dir: str, q: dict, meta: dict) -> No
     # mode, so the 10-iter trace alone can't evidence the restriction
     from geminigraph_spark.operators.algorithms import lp_engine as _lp_full
 
-    _lab, conv_eng = _lp_full(sym, iters=100)
+    _lab, conv_eng = _lp_full(sym, iters=40)
     meta["lp_supersteps_convergence"] = [
         {
             "mode": m.mode,
@@ -453,14 +454,20 @@ def _pipeline_section(spark, cores: int, sf_dir: str, q: dict, meta: dict) -> No
         for m in conv_eng.metrics
     ]
     ls = meta["lp_supersteps_convergence"]
+    pe = [s["processed_edges"] for s in ls]
     meta["lp_convergence"] = {
         "supersteps": len(ls),
         "sparse_supersteps": sum(1 for s in ls if s["mode"] == "sparse"),
         "first_sparse": next(
             (i for i, s in enumerate(ls) if s["mode"] == "sparse"), None
         ),
-        "min_processed_edges": min(s["processed_edges"] for s in ls),
+        "min_processed_edges": min(pe),
         "n_edges": sym.n_edges if hasattr(sym, "n_edges") else None,
+        # synchronous LP 2-cycles on a small oscillating core rather than
+        # reaching an empty frontier — when the tail supersteps process a
+        # CONSTANT edge count the run has plateaued at that core and
+        # further iterations are no-ops for evidence purposes
+        "plateaued": len(pe) >= 6 and len(set(pe[-5:])) == 1,
     }
     conv_eng.close()
 
