@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 from geminigraph_spark.functions import docpipe as D
 from geminigraph_spark.functions import sql_oracles as S
 from geminigraph_spark.functions import sql_oracles_docs as SD
-from geminigraph_spark.functions.edges import events_edges, weighted_events_edges
+from geminigraph_spark.functions.edges import (
+    events_edges,
+    host_edges,
+    host_graph,
+    weighted_events_edges,
+)
 from geminigraph_spark.functions.graph_algos import (
     bc_dataframe,
     bfs_depths,
@@ -42,6 +47,16 @@ def _ppm(df: DataFrame, col: str, out: str) -> DataFrame:
 
 def q_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_edges(spark, sf_dir)
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return host_graph(spark, sf_dir)
+
+
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank composed over the host-projected multigraph — the rollup
+    feeds the same kernel unchanged (10 iterations, dropped dangling)."""
+    return _ppm(pagerank(host_edges(spark, sf_dir), iters=10), "rank", "rank_ppm")
 
 
 def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,6 +161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "bfs": q_bfs,
         "bc": q_bc,
+        # host-level link-graph rollup + a kernel composed over it
+        "host_graph": q_host_graph,
+        "host_rank": q_host_rank,
         # training-data pipeline (documents / embeddings)
         "token_stats": D.token_stats,
         "quality_score": D.quality_score,
@@ -159,6 +177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup pairing over the 60-bit fingerprint — banded candidate
         # join, pigeonhole-exact at hamming ≤ 3, brute-force oracle
         "dedup_simhash": D.dedup_simhash,
+        # keep-one-per-group: LSH pairs → distributed HashMin CC →
+        # min-doc_id canonical per cluster (recursive-CTE closure oracle)
+        "dedup_clusters": D.dedup_clusters,
         "cosine_topk": D.cosine_topk,
         "embedding_neardup": D.embedding_neardup,
         # approximate NN: the top-k rows themselves are approximate by
@@ -209,6 +230,8 @@ def oracle_sql() -> dict[str, str]:
         "sssp": S.sssp_sql(iters=25, root=0),
         "bfs": S.bfs_sql(iters=25, root=0),
         "bc": S.bc_sql(levels=10, root=0),
+        "host_graph": S.host_graph_sql(),
+        "host_rank": S.host_rank_sql(iters=10),
         "token_stats": SD.token_stats_sql(),
         "quality_score": SD.quality_score_sql(),
         "lang_id": SD.lang_id_sql(),
@@ -219,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": SD.dedup_minhash_lsh_sql(),
         "simhash": SD.simhash_sql(),
         "dedup_simhash": SD.dedup_simhash_sql(),
+        "dedup_clusters": SD.dedup_clusters_sql(),
         "cosine_topk": SD.cosine_topk_sql(),
         "embedding_neardup": SD.embedding_neardup_sql(),
         "ann_recall": _ann_recall_sql(),

@@ -344,6 +344,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: the keep-one-per-group step a training-data
+    pipeline runs after pair generation. MinHash-LSH verified pairs become
+    an undirected dup-graph; HashMin connected components (the same
+    frontier-restricted kernel the link graph uses, graph_algos.
+    connected_components) labels each component with its minimum doc_id;
+    docs in no pair are their own singleton cluster. Returns one row per
+    document: (doc_id, cluster_id, is_canonical) with is_canonical = 1 on
+    the cluster's minimum doc_id — ``WHERE is_canonical = 1`` is the
+    deduplicated corpus.
+
+    Scale shape: the pair table is LSH-bucketed (never all-pairs), the CC
+    fixpoint converges in O(cluster diameter) supersteps — near-dup
+    clusters are shallow (diameter ≤ a few hops) regardless of corpus
+    size — and the final assignment is one left join on doc_id. Nothing
+    is driver-resident."""
+    from .graph_algos import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = connected_components(edges)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    cluster = F.coalesce(F.col("label"), F.col("doc_id"))
+    return docs.join(labels, docs.doc_id == labels.id, "left").select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).cast("long").alias("is_canonical"),
+    )
+
+
 def _simhash_df(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
     """(doc_id, simhash) — ``bits``-wide SimHash over the token-occurrence
     multiset (vocab-ranked ids rehashed with a Knuth multiplier). Widths

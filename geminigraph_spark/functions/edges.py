@@ -68,3 +68,49 @@ def symmetrize_df(edges: DataFrame) -> DataFrame:
     return edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+
+
+#: pages-per-host block size for the deterministic host assignment: page v
+#: belongs to host v div HOST_DIV (consecutive-id blocks, mirroring crawl
+#: locality where a host's pages share an id range). Shared verbatim by
+#: the DuckDB oracle (`//` integer division == Spark `div` on non-negative
+#: ids), so both engines roll up the identical host graph.
+HOST_DIV = 10
+
+
+def host_edges(spark: SparkSession, sf_dir: str, div: int = HOST_DIV) -> DataFrame:
+    """The page multigraph projected to hosts — every page edge becomes a
+    (src_host, dst_host) edge, parallel edges kept (multigraph semantics,
+    same as the reference loader counting every tuple, core/graph.hpp:
+    358-359). Pure integer `div` expressions, whole-stage codegen'd."""
+    e = events_edges(spark, sf_dir)
+    return e.select(
+        F.expr(f"src div {div}").alias("src"),
+        F.expr(f"dst div {div}").alias("dst"),
+    )
+
+
+def host_graph(spark: SparkSession, sf_dir: str, div: int = HOST_DIV) -> DataFrame:
+    """Host-level link rollup — the canonical web link-graph aggregation:
+    one row per (src_host, dst_host) with the total link count and the
+    distinct page fan-out/fan-in behind it.
+
+    Scale shape: a single shuffle keyed on the host pair; COUNT(DISTINCT)
+    is planned by Catalyst as a two-phase expand+partial aggregate (no
+    per-key row buffering), and mega-host skew is AQE's skewed-join /
+    skewed-agg territory — no driver-side state anywhere."""
+    e = events_edges(spark, sf_dir)
+    return (
+        e.select(
+            F.expr(f"src div {div}").alias("src_host"),
+            F.expr(f"dst div {div}").alias("dst_host"),
+            "src",
+            "dst",
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("src").alias("n_src_pages"),
+            F.countDistinct("dst").alias("n_dst_pages"),
+        )
+    )

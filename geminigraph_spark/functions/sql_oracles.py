@@ -14,15 +14,40 @@ agreement (the north_rule tolerance).
 
 from __future__ import annotations
 
-from .edges import EDGES_SQL, VERTICES_SQL, WEIGHTED_EDGES_SQL
+from .edges import EDGES_SQL, HOST_DIV, VERTICES_SQL, WEIGHTED_EDGES_SQL
 
 _PRELUDE = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
 verts AS MATERIALIZED ({VERTICES_SQL}),
 """
 
+#: same CTE names as _PRELUDE but over the host-projected multigraph, so
+#: every unrolled kernel body below runs unchanged on the host graph
+_HOST_PRELUDE = f"""WITH base AS MATERIALIZED ({EDGES_SQL}),
+edges AS MATERIALIZED (SELECT src // {HOST_DIV} AS src, dst // {HOST_DIV} AS dst FROM base),
+verts AS MATERIALIZED (SELECT DISTINCT v FROM (
+    SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+"""
+
 
 def edge_table_sql() -> str:
     return f"SELECT src, dst FROM ({EDGES_SQL})"
+
+
+def host_graph_sql(div: int = HOST_DIV) -> str:
+    """Oracle twin of edges.host_graph (same // block assignment)."""
+    return f"""
+WITH edges AS MATERIALIZED ({EDGES_SQL})
+SELECT src // {div} AS src_host, dst // {div} AS dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src_pages,
+       CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_dst_pages
+FROM edges GROUP BY 1, 2
+"""
+
+
+def host_rank_sql(iters: int = 10, d: float = 0.85) -> str:
+    """pagerank_sql's unrolled recurrence over the host multigraph."""
+    return pagerank_sql(iters=iters, d=d, prelude=_HOST_PRELUDE)
 
 
 def degrees_sql() -> str:
@@ -39,11 +64,12 @@ FROM verts LEFT JOIN od ON verts.v = od.v LEFT JOIN id_ ON verts.v = id_.v
     )
 
 
-def pagerank_sql(iters: int = 20, d: float = 0.85) -> str:
+def pagerank_sql(iters: int = 20, d: float = 0.85, prelude: str = _PRELUDE) -> str:
     """Reference recurrence (pagerank.cpp:24-99) unrolled: pre-divided
-    state, undivided final iteration, dangling mass dropped."""
+    state, undivided final iteration, dangling mass dropped. ``prelude``
+    swaps the graph (edges/verts CTEs) the recurrence runs over."""
     parts = [
-        _PRELUDE
+        prelude
         + """
 deg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS outd FROM edges GROUP BY src),
 s0 AS MATERIALIZED (SELECT verts.v,

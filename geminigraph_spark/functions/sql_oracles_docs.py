@@ -167,6 +167,49 @@ WHERE CAST(ROUND(i.inter * 1000000.0 / (sa.sz + sb.sz - i.inter)) AS BIGINT) >= 
 """
 
 
+def dedup_clusters_sql() -> str:
+    """Oracle twin of docpipe.dedup_clusters: the same verified LSH pairs
+    (CTE chain identical to dedup_minhash_lsh_sql), then components by
+    recursive-CTE transitive closure with MIN-label — exact because the
+    fixture's near-dup components are tiny, where the Spark side runs the
+    distributed HashMin fixpoint."""
+    return f"""
+WITH RECURSIVE {_sigs_ctes()},
+bands AS MATERIALIZED (
+  SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         SUM(CASE WHEN i % 2 = 0 THEN sig * {MINHASH_P} ELSE sig END) AS bval
+  FROM sigs GROUP BY doc_id, band),
+cands AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cands c
+  JOIN sh ta ON ta.doc_id = c.doc_a
+  JOIN sh tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b),
+pairs AS MATERIALIZED (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(ROUND(i.inter * 1000000.0 / (sa.sz + sb.sz - i.inter)) AS BIGINT) >= {LSH_JACCARD_MIN_PPM}),
+uedges AS MATERIALIZED (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM uedges)
+  UNION
+  SELECT reach.id, e.d FROM reach JOIN uedges e ON e.s = reach.r),
+labels AS MATERIALIZED (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(l.lbl, d.doc_id) AS cluster_id,
+       CAST(CASE WHEN COALESCE(l.lbl, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+"""
+
+
 def simhash_sql() -> str:
     return f"""
 WITH {_TOKS},

@@ -102,3 +102,25 @@ def test_jaccard_docs_scan_prunes(spark):
     # shingling needs doc_id + text only
     for ln in scans:
         assert "lang" not in ln and "source" not in ln and "n_chars" not in ln, ln
+
+
+def test_host_graph_plan_is_jvm_pruned_single_shuffle(spark):
+    """The host rollup must be one shuffle keyed on the host pair, fully
+    codegen'd, with the events scan pruned to the two id columns (the
+    COUNT DISTINCTs plan as expand + two-phase aggregate, not a second
+    row-wise shuffle of raw pages)."""
+    from geminigraph_spark.functions.edges import host_graph
+
+    df = host_graph(spark, SF)
+    plan = _formatted(df)
+    assert "EvalPython" not in plan, plan
+    # (no 'codegen id' assert: the AQE wrapper prints isFinalPlan=false
+    # before execution and elides codegen ids; JVM-onlyness is what
+    # matters and EvalPython-absence pins it)
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans
+    for ln in scans:
+        assert "user_id" in ln and "event_id" in ln, ln
+        assert "ts:" not in ln, ln
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan  # expand-stage partial agg + final agg

@@ -30,12 +30,17 @@ def main() -> int:
     )
     shared = tempfile.mkdtemp(prefix="gemini_ab_")
     best: dict[int, dict] = {}
+    per_round: dict[int, dict[int, float]] = {}
     try:
         for r in range(rounds):
             for n in sorted(levels, reverse=True):
                 env = dict(
                     os.environ,
                     SPARK_GRAFT_CPUS=str(n),
+                    # no sidecar: A/B legs must not clobber the main
+                    # run's committed BENCH_DETAIL.json; their detail
+                    # rides stdout (bench.py prints it when unset)
+                    SPARK_GRAFT_BENCH_DETAIL="",
                     SPARK_GRAFT_BENCH_SPILL=shared,
                     SPARK_GRAFT_BENCH_V=os.environ.get("SPARK_GRAFT_BENCH_V", "1000000"),
                     SPARK_GRAFT_BENCH_E=os.environ.get("SPARK_GRAFT_BENCH_E", "240000000"),
@@ -53,9 +58,10 @@ def main() -> int:
                 out = json.loads(lines[-1])
                 print(
                     f"round {r} n={n}: exec={out['value']} "
-                    f"pr_runs={out['synth']['pagerank_runs']} cc_runs={out['synth']['cc_runs']}",
+                    f"gteps={out.get('gteps_synth')}",
                     file=sys.stderr, flush=True,
                 )
+                per_round.setdefault(r, {})[n] = out["value"]
                 if n not in best or out["value"] < best[n]["value"]:
                     best[n] = out
     finally:
@@ -68,17 +74,31 @@ def main() -> int:
         for n in sorted(best)
         if 4 * n in best
     }
+    # matched SAME-ROUND pairs: adjacent legs ran minutes apart under the
+    # same co-tenant weather — the unselected, per-round evidence
+    matched = {
+        str(r): {
+            f"{n}->{4*n}": round((t[n] / t[4 * n]) / 4.0, 3)
+            for n in sorted(t)
+            if 4 * n in t
+        }
+        for r, t in sorted(per_round.items())
+    }
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
                 "pairs": pairs,
+                "pairs_matched_same_round": matched,
                 "legs": {
                     str(n): {
                         "exec_sec": best[n]["value"],
                         "gteps": best[n]["gteps_synth"],
                     }
                     for n in sorted(best)
+                },
+                "legs_per_round": {
+                    str(r): t for r, t in sorted(per_round.items())
                 },
                 "graph": best[max(best)]["synth"],
                 "rounds": rounds,
