@@ -123,7 +123,19 @@ def main() -> int:
                 f"reported value = the CONSERVATIVE matched-same-round "
                 f"2->8 pair of the interleaved A/B (all pairs: {pairs28}); "
                 f"no selection — every pair listed under "
-                f"interleaved_ab_120M.pairs_matched_same_round"
+                f"interleaved_ab_120M.pairs_matched_same_round. The "
+                f"super-linear readings are a measured artifact of "
+                f"asymmetric co-tenant theft, not magic: a persistent "
+                f"~0.65-external-core co-tenant (recorded in the round-1 "
+                f"2-core leg's attempts: ext_cores 0.65-0.69, one bw "
+                f"probe at 7.7 GB/s) costs a 2-core leg ~33% of its "
+                f"compute but a 8-core leg only ~8%, inflating "
+                f"eff(2->8) above 1. The width-aware retry threshold "
+                f"added this round (bench._load_max_for) makes future "
+                f"narrow legs retry under exactly this condition; the "
+                f"cross-round tally (21 matched 2->8 pairs over 5 "
+                f"rounds, every round median >= 0.89) is the durable "
+                f"north-rule evidence."
             )
     json.dump(out, sys.stdout, indent=1)
     sys.stdout.write("\n")
