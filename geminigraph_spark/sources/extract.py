@@ -41,6 +41,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: pinned, parser-free href grammar: double-quoted | single-quoted |
@@ -196,3 +197,34 @@ def extract_text(pages: DataFrame) -> DataFrame:
                 yield text_from_pandas(pdf)
 
     return src.mapInPandas(run, _TEXT_SCHEMA)
+
+
+def site_graph(links: DataFrame) -> DataFrame:
+    """Real-hostname rollup of the extracted URL edge list — the
+    Common-Crawl-path twin of functions.edges.host_graph (which rolls up
+    the oracle-gated integer graph): one row per (src_site, dst_site)
+    with the total link count and distinct page fan-out/fan-in. Sites
+    are the extractor's own base notion, HOST_RE (scheme+authority), so
+    the rollup is pinned to exactly the resolution grammar that built
+    the links; rows whose URL carries no http(s) authority (empty or
+    unresolvable hrefs) are dropped.
+
+    Pure JVM expressions (regexp_extract + two-phase distinct
+    aggregate); the shuffle is keyed on the site pair and mega-site skew
+    is AQE skewed-agg territory — same scale shape as host_graph."""
+    site = lambda c: F.regexp_extract(c, HOST_RE, 1)  # noqa: E731
+    return (
+        links.select(
+            site(F.col("src_url")).alias("src_site"),
+            site(F.col("dst_url")).alias("dst_site"),
+            "src_url",
+            "dst_url",
+        )
+        .where((F.col("src_site") != "") & (F.col("dst_site") != ""))
+        .groupBy("src_site", "dst_site")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("src_url").alias("n_src_pages"),
+            F.countDistinct("dst_url").alias("n_dst_pages"),
+        )
+    )

@@ -177,3 +177,41 @@ def test_fixture_shape():
     assert np.array_equal(
         gen_pages_pandas(100)["html"].values, gen_pages_pandas(100)["html"].values
     )
+
+
+def test_site_graph_matches_pandas_rollup(spark):
+    """site_graph (Common-Crawl-path host rollup) vs an independent
+    pandas recomputation from the golden edge list: same site pairs,
+    link counts, and distinct page fan-out/fan-in."""
+    import re
+
+    from geminigraph_spark.sources.extract import HOST_RE, site_graph
+
+    pages = gen_pages_df(spark, N)
+    got = (
+        site_graph(extract_links(pages))
+        .toPandas()
+        .sort_values(["src_site", "dst_site"])
+        .reset_index(drop=True)
+    )
+
+    golden = golden_edges_pandas(N)
+    site = lambda s: s.str.extract(re.compile(HOST_RE), expand=False).fillna("")  # noqa: E731
+    g = golden.assign(
+        src_site=site(golden["src_url"]), dst_site=site(golden["dst_url"])
+    )
+    g = g[(g["src_site"] != "") & (g["dst_site"] != "")]
+    want = (
+        g.groupby(["src_site", "dst_site"])
+        .agg(
+            n_links=("src_url", "size"),
+            n_src_pages=("src_url", "nunique"),
+            n_dst_pages=("dst_url", "nunique"),
+        )
+        .reset_index()
+        .sort_values(["src_site", "dst_site"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for col in ("src_site", "dst_site", "n_links", "n_src_pages", "n_dst_pages"):
+        assert (got[col].values == want[col].values).all(), col
