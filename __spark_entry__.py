@@ -23,6 +23,7 @@ from geminigraph_spark.functions.edges import (
     events_edges,
     host_edges,
     host_graph,
+    sparse_events_edges,
     weighted_events_edges,
 )
 from geminigraph_spark.functions.graph_algos import (
@@ -30,8 +31,10 @@ from geminigraph_spark.functions.graph_algos import (
     bfs_depths,
     connected_components,
     degrees,
+    k_core,
     label_propagation,
     pagerank,
+    personalized_pagerank,
     sssp,
     triangle_count,
 )
@@ -105,6 +108,26 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_depths(events_edges(spark, sf_dir), root=0)
 
 
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the deterministic seed set id % 10 = 0
+    (the web-ranking query: rank pages relative to a trusted seed list)."""
+    e = events_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .where(F.col("id") % 10 == 0)
+    )
+    return _ppm(personalized_pagerank(e, seeds, iters=10), "rank", "rank_ppm")
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core membership over the sparse events subgraph (the full events
+    graph is near-complete at gate scale, so peeling there is degenerate;
+    the mod-40 subgraph peels 14 rounds at sf0.01 — a real fixpoint)."""
+    return k_core(sparse_events_edges(spark, sf_dir), k=3)
+
+
 def q_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source Brandes BC from root 0 via the distributed-state
     DataFrame path (graph_algos.bc_dataframe); the chunked engine's
@@ -161,6 +184,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "bfs": q_bfs,
         "bc": q_bc,
+        # seeded teleport PageRank + k-core peeling (web-graph staples
+        # beyond the reference's workload set)
+        "ppr": q_ppr,
+        "k_core": q_k_core,
         # host-level link-graph rollup + a kernel composed over it
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -230,6 +257,8 @@ def oracle_sql() -> dict[str, str]:
         "sssp": S.sssp_sql(iters=25, root=0),
         "bfs": S.bfs_sql(iters=25, root=0),
         "bc": S.bc_sql(levels=10, root=0),
+        "ppr": S.ppr_sql(iters=10, seed_mod=10),
+        "k_core": S.k_core_sql(k=3, rounds=20),
         "host_graph": S.host_graph_sql(),
         "host_rank": S.host_rank_sql(iters=10),
         "token_stats": SD.token_stats_sql(),

@@ -114,3 +114,34 @@ def host_graph(spark: SparkSession, sf_dir: str, div: int = HOST_DIV) -> DataFra
             F.countDistinct("dst").alias("n_dst_pages"),
         )
     )
+
+
+#: deterministic sparse subgraph for peeling-style gates: the events graph
+#: is near-complete at gate scale (sf0.01: 150 vertices, simple degree
+#: 73-108), so k-core peeling on it is degenerate (≤1 round). Keeping only
+#: every SPARSE_MOD-th event yields avg simple degree ≈3 at sf0.01, where
+#: k=3 peeling cascades 14 rounds to a 38-vertex core — a real fixpoint.
+SPARSE_MOD = 40
+
+SPARSE_EDGES_SQL = f"""
+    SELECT CAST(user_id AS BIGINT) AS src,
+           CAST((user_id*31 + event_id*17 + 7)
+                % (SELECT MAX(user_id)+1 FROM events) AS BIGINT) AS dst
+    FROM events WHERE event_id % {SPARSE_MOD} = 0
+"""
+
+
+def sparse_events_edges(
+    spark: SparkSession, sf_dir: str, mod: int = SPARSE_MOD
+) -> DataFrame:
+    """events_edges restricted to every ``mod``-th event. The modulus |V|
+    comes from the FULL events table (same subquery as EDGES_SQL), so the
+    subgraph's vertex-id space is the full graph's."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.agg(F.max("user_id")).first()[0] + 1
+    return ev.where(F.col("event_id") % mod == 0).select(
+        F.col("user_id").cast("long").alias("src"),
+        ((F.col("user_id") * 31 + F.col("event_id") * 17 + 7) % F.lit(int(n)))
+        .cast("long")
+        .alias("dst"),
+    )

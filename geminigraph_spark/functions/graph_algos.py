@@ -712,3 +712,135 @@ def bfs_depths(
         "id",
         F.when(F.col("val") >= big, F.lit(-1)).otherwise(F.col("val")).cast("long").alias("depth"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 10,
+    d: float = 0.85,
+    checkpoint: Checkpointer = _default_ckpt,
+    start: DataFrame | None = None,
+    start_iter: int = 0,
+    ckpt_interval: int = 1,
+) -> DataFrame:
+    """Personalized PageRank: the reference PageRank recurrence
+    (toolkits/pagerank.cpp:24-99 — pre-divided state, undivided final
+    iteration, dangling mass dropped) with the uniform teleport replaced
+    by a seed indicator: r ← (1-d)·1[v∈seeds] + d·Σ_in. ``seeds`` is a
+    DataFrame with column ``id``; the initial state is the seed indicator
+    (mass |S|, the analogue of PR's all-ones mass |V|). Returns
+    (id long, rank double).
+
+    Scale shape: identical to ``pagerank`` — the seed indicator joins once
+    into the persisted per-vertex base (a |V|-row hash join, broadcast by
+    AQE when |S| is small), then every iteration is the same single
+    join + sum aggregation; the teleport term is a codegen'd CASE, not an
+    extra join. ``start``/``start_iter`` follow pagerank's resume
+    contract (pre-divided snapshots except the final iteration's)."""
+    ck = _IntervalCkpt(checkpoint, ckpt_interval, lazy_chain=True)
+    ew = _collapsed(edges).persist()
+    verts = _vertices_of(edges)
+    deg = ew.groupBy(F.col("src").alias("id")).agg(
+        F.sum("cnt").cast("double").alias("outd")
+    )
+    seed_ind = seeds.select("id").distinct().withColumn("tele", F.lit(1.0))
+    base = (
+        verts.join(deg, "id", "left")
+        .join(seed_ind, "id", "left")
+        .fillna({"outd": 0.0, "tele": 0.0})
+        .persist()
+    )
+
+    if start is not None:
+        curr = start.select("id", F.col("rank").alias("r"))
+    else:
+        curr = base.select(
+            "id",
+            F.when(F.col("outd") > 0, F.col("tele") / F.col("outd"))
+            .otherwise(F.col("tele"))
+            .alias("r"),
+        )
+        curr = ck.step(-1, curr)
+
+    for i in range(start_iter, iters):
+        msgs = (
+            ew.join(curr.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("cnt")).alias("s"))
+            .withColumnRenamed("dst", "id")
+        )
+        val = F.lit(1.0 - d) * F.col("tele") + F.lit(d) * F.coalesce(
+            F.col("s"), F.lit(0.0)
+        )
+        if i != iters - 1:
+            r = F.when(F.col("outd") > 0, val / F.col("outd")).otherwise(val)
+        else:
+            r = val
+        curr = base.join(msgs, "id", "left").select("id", r.alias("r"))
+        curr = ck.step(i, curr, force=(i == iters - 1))
+
+    ew.unpersist()
+    return curr.select("id", F.col("r").alias("rank"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iters: int = 1000,
+    checkpoint: Checkpointer = _default_ckpt,
+) -> DataFrame:
+    """k-core membership by synchronous distributed peeling on the SIMPLE
+    undirected graph (distinct pairs, self-loops dropped — the standard
+    k-core object): repeatedly remove every vertex whose degree among
+    survivors is < k, to fixpoint. Returns (id long, in_core int) over
+    ALL vertices of the input edge multiset (a vertex whose only edges
+    are self-loops is a vertex of the graph but never of the core).
+
+    Scale shape: the live adjacency SHRINKS monotonically — each round
+    semi-joins it to the survivor set on both endpoints (two shuffles of
+    the current live edges, not the original graph) and re-aggregates
+    degrees; rounds are bounded by the peeling depth (≪ |V| on web
+    graphs — degeneracy ordering collapses in tens of rounds). Survivor
+    sets are |V|-bounded and join by shuffle (broadcast only if AQE
+    elects to); no driver-side state. Early exit compares survivor
+    counts — the same action that materializes the round's checkpoint."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    verts = _vertices_of(edges)
+    ck = _IntervalCkpt(checkpoint, 1, lazy_chain=False)
+
+    live = ck.step(-1, adj)
+    n_live = live.count()
+    ck.materialized()
+    for i in range(max_iters):
+        alive = (
+            live.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("v")
+        )
+        nxt = (
+            live.join(alive, "v")
+            .join(alive.withColumnRenamed("v", "u"), "u")
+            .select("v", "u")
+        )
+        live = ck.step(i, nxt)
+        m = live.count()
+        ck.materialized()
+        if m == n_live:
+            break
+        n_live = m
+    core = live.select("v").distinct().withColumn("in_core", F.lit(1))
+    return (
+        verts.join(core.withColumnRenamed("v", "id"), "id", "left")
+        .select("id", F.coalesce(F.col("in_core"), F.lit(0)).cast("int").alias("in_core"))
+    )

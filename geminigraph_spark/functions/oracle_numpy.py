@@ -211,3 +211,54 @@ def bfs_depth_ref(
         depth[new] = level
         frontier = new
     return depth
+
+
+def ppr_ref(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n: int,
+    seed_mask: np.ndarray,
+    iters: int = 10,
+    d: float = 0.85,
+) -> np.ndarray:
+    """Personalized PageRank: pagerank_ref's recurrence with the uniform
+    teleport replaced by the seed indicator — r ← (1-d)·1[v∈S] + d·Σ_in.
+    Same reference conventions (pagerank.cpp:24-99): pre-divided state,
+    undivided final iteration, dangling mass dropped. Initial state is the
+    seed indicator (mass |S|, the analogue of PR's all-ones mass |V|)."""
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    tele = seed_mask.astype(np.float64)
+    curr = tele.copy()
+    nz = outdeg > 0
+    curr[nz] /= outdeg[nz]
+    for i in range(iters):
+        nxt = np.zeros(n, dtype=np.float64)
+        np.add.at(nxt, dst, curr[src])
+        nxt = (1.0 - d) * tele + d * nxt
+        if i != iters - 1:
+            nxt[nz] /= outdeg[nz]
+        curr = nxt
+    return curr
+
+
+def k_core_ref(src: np.ndarray, dst: np.ndarray, n: int, k: int) -> np.ndarray:
+    """k-core membership by synchronous peeling on the SIMPLE undirected
+    graph (distinct pairs, self-loops dropped — the standard k-core
+    object): repeatedly remove every vertex whose degree among survivors
+    is < k, until fixpoint. Returns a bool mask over 0..n-1; vertices
+    absent from the simple edge set are never in the core."""
+    m = src != dst
+    a = np.minimum(src[m], dst[m])
+    b = np.maximum(src[m], dst[m])
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    u = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    v = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    alive = np.zeros(n, dtype=bool)
+    alive[u] = True
+    while True:
+        live = alive[u] & alive[v]
+        deg = np.bincount(u[live], minlength=n)
+        drop = alive & (deg < k)
+        if not drop.any():
+            return alive
+        alive &= ~drop

@@ -14,7 +14,13 @@ agreement (the north_rule tolerance).
 
 from __future__ import annotations
 
-from .edges import EDGES_SQL, HOST_DIV, VERTICES_SQL, WEIGHTED_EDGES_SQL
+from .edges import (
+    EDGES_SQL,
+    HOST_DIV,
+    SPARSE_EDGES_SQL,
+    VERTICES_SQL,
+    WEIGHTED_EDGES_SQL,
+)
 
 _PRELUDE = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
 verts AS MATERIALIZED ({VERTICES_SQL}),
@@ -340,5 +346,79 @@ b{k} AS MATERIALIZED (SELECT c.v, LEAST(c.d, COALESCE(m.md, c.d)) AS d
         )
     parts.append(
         f"\nSELECT v AS id, CAST(CASE WHEN d >= {big} THEN -1 ELSE d END AS BIGINT) AS depth FROM b{iters}"
+    )
+    return "".join(parts)
+
+
+def ppr_sql(iters: int = 10, d: float = 0.85, seed_mod: int = 10) -> str:
+    """Personalized PageRank unrolled: pagerank_sql's recurrence with the
+    uniform teleport replaced by the seed indicator (v % seed_mod = 0);
+    initial state is the seed indicator, pre-divided."""
+    seed = f"(verts.v % {seed_mod} = 0)"
+    parts = [
+        _PRELUDE
+        + f"""
+deg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS outd FROM edges GROUP BY src),
+s0 AS MATERIALIZED (SELECT verts.v,
+              CASE WHEN {seed} THEN
+                CASE WHEN COALESCE(deg.outd, 0) > 0 THEN 1.0/deg.outd ELSE 1.0 END
+              ELSE 0.0 END AS r
+       FROM verts LEFT JOIN deg ON verts.v = deg.v)"""
+    ]
+    for k in range(1, iters + 1):
+        last = k == iters
+        val = (
+            f"(CASE WHEN {seed} THEN {1.0 - d:.2f} ELSE 0.0 END"
+            f" + {d:.2f}*COALESCE(m.s, 0))"
+        )
+        expr = (
+            val
+            if last
+            else f"CASE WHEN COALESCE(deg.outd, 0) > 0 THEN {val}/deg.outd ELSE {val} END"
+        )
+        parts.append(
+            f""",
+s{k} AS MATERIALIZED (SELECT verts.v, {expr} AS r
+       FROM verts
+       LEFT JOIN (SELECT e.dst AS v, SUM(p.r) AS s
+                  FROM edges e JOIN s{k-1} p ON e.src = p.v GROUP BY e.dst) m
+         ON verts.v = m.v
+       LEFT JOIN deg ON verts.v = deg.v)"""
+        )
+    parts.append(
+        f"\nSELECT v AS id, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_ppm FROM s{iters}"
+    )
+    return "".join(parts)
+
+
+def k_core_sql(k: int = 3, rounds: int = 20) -> str:
+    """k-core peeling unrolled over the sparse events subgraph: one CTE
+    per synchronous round (drop every vertex whose degree among survivors
+    is < k); the sf0.01 gate graph peels in 14 rounds, extra rounds are
+    fixpoint no-ops. Output is (id, in_core) over ALL vertices of the
+    sparse edge multiset (self-loop-only vertices included, never in
+    core) — the Spark kernel's contract."""
+    parts = [
+        f"""WITH sedges AS MATERIALIZED ({SPARSE_EDGES_SQL}),
+sverts AS MATERIALIZED (SELECT DISTINCT v FROM (
+    SELECT src AS v FROM sedges UNION ALL SELECT dst AS v FROM sedges)),
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM sedges WHERE src <> dst),
+adj AS MATERIALIZED (SELECT a AS v, b AS u FROM und UNION ALL SELECT b AS v, a AS u FROM und),
+a0 AS MATERIALIZED (SELECT DISTINCT v FROM adj)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+a{t} AS MATERIALIZED (SELECT e.v FROM adj e
+    JOIN a{t-1} s ON e.v = s.v
+    JOIN a{t-1} s2 ON e.u = s2.v
+    GROUP BY e.v HAVING COUNT(*) >= {k})"""
+        )
+    parts.append(
+        f"""
+SELECT sverts.v AS id,
+       CAST(CASE WHEN c.v IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS in_core
+FROM sverts LEFT JOIN a{rounds} c ON sverts.v = c.v"""
     )
     return "".join(parts)

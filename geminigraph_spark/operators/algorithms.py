@@ -413,3 +413,75 @@ def warm_cc_update(
     return cc_engine_warm(
         g, prior_labels, ep["src"].values, ep["dst"].values
     )
+
+
+def ppr_engine(
+    graph: ChunkedGraph,
+    seed_mask: np.ndarray,
+    iters: int = 10,
+    d: float = 0.85,
+    on_state: StateHook | None = None,
+    start: np.ndarray | None = None,
+    start_iter: int = 0,
+) -> tuple[np.ndarray, VertexEngine]:
+    """Personalized PageRank on the chunked engine: pagerank_engine's
+    recurrence (pre-divided state, undivided final iteration, dangling
+    mass dropped — pagerank.cpp:24-99 conventions) with the uniform
+    teleport replaced by the seed indicator, r ← (1-d)·1[v∈S] + d·Σ_in.
+    Initial state is the seed indicator (mass |S|). Always dense / full
+    frontier, like PageRank (mass spreads from the whole state each
+    superstep). Resume contract identical to pagerank_engine."""
+    eng = VertexEngine(graph)
+    outd = graph.out_degree.astype(np.float64)
+    nz = outd > 0
+    tele = seed_mask.astype(np.float64)
+    if start is not None:
+        curr = start.astype(np.float64).copy()
+    else:
+        curr = tele.copy()
+        curr[nz] /= outd[nz]
+    for i in range(start_iter, iters):
+        ids, vals = eng.edge_aggregate(curr, "sum", iteration=i)
+        nxt = np.zeros(graph.n_vertices, dtype=np.float64)
+        nxt[ids] = vals
+        nxt = (1.0 - d) * tele + d * nxt
+        if i != iters - 1:
+            nxt[nz] /= outd[nz]
+        curr = nxt
+        if on_state is not None:
+            on_state(i, curr)
+    return curr, eng
+
+
+def k_core_engine(
+    simple_sym_graph: ChunkedGraph,
+    k: int,
+    max_iters: int = 10**6,
+) -> tuple[np.ndarray, VertexEngine]:
+    """k-core membership by peeling on the chunked engine. The input graph
+    must be the SIMPLE symmetrized graph (distinct undirected pairs shipped
+    in both directions, self-loops dropped) — its per-vertex out-degree IS
+    the undirected degree.
+
+    This is the engine's natural sparse/push workload: each round's
+    frontier is exactly the vertices dropped THIS round, and the only
+    messages are their −1 degree contributions to live neighbors — the
+    total work over the whole run is O(|E|) message traffic (every edge
+    dies exactly once), not O(rounds·|E|). Synchronous rounds match
+    k_core_ref / the DataFrame kernel exactly."""
+    if k < 1:
+        raise ValueError("k_core requires k >= 1")
+    eng = VertexEngine(simple_sym_graph)
+    n = simple_sym_graph.n_vertices
+    deg = simple_sym_graph.out_degree.astype(np.int64).copy()
+    ones = np.ones(n, dtype=np.int32)
+    alive = deg > 0
+    frontier = alive & (deg < k)
+    i = 0
+    while frontier.any() and i < max_iters:
+        alive[frontier] = False
+        ids, vals = eng.edge_aggregate(ones, "sum", frontier=frontier, iteration=i)
+        deg[ids] -= vals
+        frontier = alive & (deg < k)
+        i += 1
+    return alive, eng

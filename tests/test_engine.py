@@ -10,8 +10,10 @@ from geminigraph_spark.functions.edges import symmetrize_df
 from geminigraph_spark.operators.algorithms import (
     bfs_engine,
     cc_engine,
+    k_core_engine,
     lp_engine,
     pagerank_engine,
+    ppr_engine,
     sssp_engine,
 )
 from geminigraph_spark.operators.chunked_graph import ChunkedGraph
@@ -579,3 +581,48 @@ def test_sparse_superstep_ships_frontier_bytes_only(spark, built):
         eng.close()
     assert np.array_equal(results["file"][0], results["bc"][0])
     assert np.array_equal(results["file"][1], results["bc"][1])
+
+
+def test_ppr_engine_matches_oracle_and_df_path(spark, built):
+    src, dst, w, n, g, sym, wg = built
+    from geminigraph_spark.functions.graph_algos import personalized_pagerank
+
+    seeds_mask = np.zeros(n, dtype=bool)
+    seeds_mask[::10] = True
+    want = O.ppr_ref(src, dst, n, seeds_mask, iters=6)
+    got, eng = ppr_engine(g, seeds_mask, iters=6)
+    assert np.allclose(got, want, atol=1e-12)
+    assert all(m.mode == "dense" for m in eng.metrics)  # full frontier
+
+    seeds = spark.createDataFrame(
+        [(int(v),) for v in np.flatnonzero(seeds_mask)], "id long"
+    )
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(src, dst)], "src long, dst long"
+    )
+    p = personalized_pagerank(df, seeds, iters=6).toPandas()
+    arr = np.full(n, np.nan)
+    arr[p["id"].values] = p["rank"].values
+    m = ~np.isnan(arr)
+    assert np.allclose(arr[m], got[m], atol=1e-9)
+
+
+def test_k_core_engine_matches_reference_and_message_budget(spark, built):
+    src, dst, w, n, g, sym, wg = built
+    # simple symmetrized graph: distinct undirected pairs, no self-loops
+    m = src != dst
+    a, b = np.minimum(src[m], dst[m]), np.maximum(src[m], dst[m])
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    u = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    v = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(u, v)], "src long, dst long"
+    )
+    simple = ChunkedGraph.build(spark, df, n_chunks=5, n_vertices=n)
+    for k in (3, 5, 8):
+        want = O.k_core_ref(src, dst, n, k)
+        alive, eng = k_core_engine(simple, k)
+        assert np.array_equal(alive, want), f"k={k}"
+        # every directed edge dies at most once: total processed messages
+        # across the whole peel are bounded by |E_sym|
+        assert sum(m_.processed_edges for m_ in eng.metrics) <= simple.n_edges

@@ -10,7 +10,9 @@ from geminigraph_spark.functions.graph_algos import (
     bfs_depths,
     connected_components,
     label_propagation,
+    k_core,
     pagerank,
+    personalized_pagerank,
     sssp,
     triangle_count,
     triangles_per_vertex,
@@ -362,3 +364,36 @@ def test_bc_dataframe_resume_both_phases(spark, g):
         bc_dataframe(df, root=root, start=bwd_snaps[0]), "id", "bc", n, 0.0
     )
     assert np.allclose(resumed_b, straight, atol=0)
+
+
+def test_ppr_matches_reference_recurrence(spark, g):
+    src, dst, n, df = g
+    seeds_mask = np.zeros(n, dtype=bool)
+    seeds_mask[::10] = True
+    want = O.ppr_ref(src, dst, n, seeds_mask, iters=6)
+    seeds = spark.createDataFrame(
+        [(int(v),) for v in np.flatnonzero(seeds_mask)], "id long"
+    )
+    got = _as_array(
+        personalized_pagerank(df, seeds, iters=6), "id", "rank", n, np.nan
+    )
+    present = ~np.isnan(got)
+    assert np.allclose(got[present], want[present], atol=1e-9)
+    # non-seed vertices with no path from a seed hold rank exactly 0
+    assert (got[present] >= 0).all()
+
+
+def test_k_core_matches_reference_peeling(spark, g):
+    src, dst, n, df = g
+    for k in (3, 5, 8):
+        want = O.k_core_ref(src, dst, n, k)
+        got = k_core(df, k=k).toPandas().set_index("id")["in_core"]
+        present = np.zeros(n, dtype=bool)
+        present[got.index.values] = True
+        arr = np.zeros(n, dtype=bool)
+        arr[got.index.values] = got.values.astype(bool)
+        # every vertex of the edge multiset is reported exactly once
+        assert got.index.is_unique
+        assert np.array_equal(arr, want & present), f"k={k}"
+        # vertices the ref puts in the core are all present in the output
+        assert not (want & ~present).any()
