@@ -31,6 +31,7 @@ from geminigraph_spark.functions.graph_algos import (
     bfs_depths,
     connected_components,
     degrees,
+    hits,
     k_core,
     label_propagation,
     pagerank,
@@ -128,6 +129,16 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(sparse_events_edges(spark, sf_dir), k=3)
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities, 10 L1-normalized iterations, ppm-rounded."""
+    h = hits(events_edges(spark, sf_dir), iters=10)
+    return h.select(
+        "id",
+        F.round(F.col("auth") * 1000000).cast("long").alias("auth_ppm"),
+        F.round(F.col("hub") * 1000000).cast("long").alias("hub_ppm"),
+    )
+
+
 def q_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source Brandes BC from root 0 via the distributed-state
     DataFrame path (graph_algos.bc_dataframe); the chunked engine's
@@ -188,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # beyond the reference's workload set)
         "ppr": q_ppr,
         "k_core": q_k_core,
+        "hits": q_hits,
         # host-level link-graph rollup + a kernel composed over it
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -259,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         "bc": S.bc_sql(levels=10, root=0),
         "ppr": S.ppr_sql(iters=10, seed_mod=10),
         "k_core": S.k_core_sql(k=3, rounds=20),
+        "hits": S.hits_sql(iters=10),
         "host_graph": S.host_graph_sql(),
         "host_rank": S.host_rank_sql(iters=10),
         "token_stats": SD.token_stats_sql(),

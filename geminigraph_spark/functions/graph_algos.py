@@ -844,3 +844,62 @@ def k_core(
         verts.join(core.withColumnRenamed("v", "id"), "id", "left")
         .select("id", F.coalesce(F.col("in_core"), F.lit(0)).cast("int").alias("in_core"))
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 10,
+    checkpoint: Checkpointer = _default_ckpt,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg '99) on the edge multiset,
+    L1-normalized each half-step: auth ← Σ_in hub / ‖·‖₁, hub ← Σ_out
+    auth / ‖·‖₁. Parallel edges weight the sums. Returns
+    (id long, auth double, hub double).
+
+    Scale shape: each half-step is the SAME single join + sum aggregation
+    as a PageRank superstep — once keyed on dst (auth), once on src (hub);
+    the L1 norm is one scalar aggregate (an O(|V|) reduce, driver-held
+    like PageRank's dangling-mass term). Every half-step state gets a
+    LAZY localCheckpoint materialized by its own norm aggregate — one
+    job per half-step, lineage truncated every step (the interval-∞
+    lazy_chain=False discipline, same as _min_fixpoint's)."""
+    ck = _IntervalCkpt(checkpoint, 10**9, lazy_chain=False)
+    ew = _collapsed(edges).persist()
+    verts = _vertices_of(edges).persist()
+    hub = verts.select("id", F.lit(1.0).alias("h"))
+    auth = None
+    for i in range(iters):
+        araw = (
+            ew.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("h") * F.col("cnt")).alias("a"))
+            .withColumnRenamed("dst", "id")
+        )
+        auth = verts.join(araw, "id", "left").select(
+            "id", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
+        )
+        auth = ck.step(2 * i, auth)
+        na = auth.agg(F.sum("a")).first()[0] or 0.0
+        ck.materialized()
+        if na > 0:
+            auth = auth.select("id", (F.col("a") / F.lit(na)).alias("a"))
+        hraw = (
+            ew.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("a") * F.col("cnt")).alias("h"))
+            .withColumnRenamed("src", "id")
+        )
+        hub = verts.join(hraw, "id", "left").select(
+            "id", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
+        )
+        hub = ck.step(2 * i + 1, hub)
+        nh = hub.agg(F.sum("h")).first()[0] or 0.0
+        ck.materialized()
+        if nh > 0:
+            hub = hub.select("id", (F.col("h") / F.lit(nh)).alias("h"))
+    ew.unpersist()
+    out = auth.join(hub, "id").select(
+        "id", F.col("a").alias("auth"), F.col("h").alias("hub")
+    )
+    verts.unpersist()
+    return out

@@ -262,3 +262,27 @@ def k_core_ref(src: np.ndarray, dst: np.ndarray, n: int, k: int) -> np.ndarray:
         if not drop.any():
             return alive
         alive &= ~drop
+
+
+def hits_ref(
+    src: np.ndarray, dst: np.ndarray, n: int, iters: int = 10
+) -> tuple[np.ndarray, np.ndarray]:
+    """HITS hubs & authorities (Kleinberg '99), L1-normalized each half-
+    step so both engines divide by the same deterministic scalar:
+    auth ← Σ_in hub (normalized), hub ← Σ_out auth (normalized).
+    Parallel edges weight the sums (multigraph semantics, consistent with
+    every other kernel here). Returns (auth, hub)."""
+    hub = np.ones(n, dtype=np.float64)
+    auth = np.zeros(n, dtype=np.float64)
+    for _ in range(iters):
+        auth = np.zeros(n, dtype=np.float64)
+        np.add.at(auth, dst, hub[src])
+        s = auth.sum()
+        if s > 0:
+            auth /= s
+        hub = np.zeros(n, dtype=np.float64)
+        np.add.at(hub, src, auth[dst])
+        s = hub.sum()
+        if s > 0:
+            hub /= s
+    return auth, hub

@@ -422,3 +422,36 @@ SELECT sverts.v AS id,
 FROM sverts LEFT JOIN a{rounds} c ON sverts.v = c.v"""
     )
     return "".join(parts)
+
+
+def hits_sql(iters: int = 10) -> str:
+    """HITS unrolled: one auth CTE + one hub CTE per iteration, each
+    L1-normalized by a scalar-subquery sum (the same deterministic
+    divisor the Spark kernel applies driver-side)."""
+    parts = [
+        _PRELUDE
+        + """
+h0 AS MATERIALIZED (SELECT v, 1.0 AS h FROM verts)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+ar{k} AS MATERIALIZED (SELECT verts.v, COALESCE(m.s, 0) AS a
+       FROM verts LEFT JOIN (SELECT e.dst AS v, SUM(p.h) AS s
+                  FROM edges e JOIN h{k-1} p ON e.src = p.v GROUP BY e.dst) m
+         ON verts.v = m.v),
+a{k} AS MATERIALIZED (SELECT v, a / (SELECT SUM(a) FROM ar{k}) AS a FROM ar{k}),
+hr{k} AS MATERIALIZED (SELECT verts.v, COALESCE(m.s, 0) AS h
+       FROM verts LEFT JOIN (SELECT e.src AS v, SUM(p.a) AS s
+                  FROM edges e JOIN a{k} p ON e.dst = p.v GROUP BY e.src) m
+         ON verts.v = m.v),
+h{k} AS MATERIALIZED (SELECT v, h / (SELECT SUM(h) FROM hr{k}) AS h FROM hr{k})"""
+        )
+    parts.append(
+        f"""
+SELECT a.v AS id,
+       CAST(ROUND(a.a * 1000000) AS BIGINT) AS auth_ppm,
+       CAST(ROUND(h.h * 1000000) AS BIGINT) AS hub_ppm
+FROM a{iters} a JOIN h{iters} h ON a.v = h.v"""
+    )
+    return "".join(parts)

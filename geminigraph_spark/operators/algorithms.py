@@ -485,3 +485,34 @@ def k_core_engine(
         frontier = alive & (deg < k)
         i += 1
     return alive, eng
+
+
+def hits_engine(
+    graph: ChunkedGraph,
+    graph_t: ChunkedGraph,
+    iters: int = 10,
+) -> tuple[np.ndarray, np.ndarray, VertexEngine]:
+    """HITS on the chunked engine: auth ← Σ_in hub (edge_aggregate over
+    the graph), hub ← Σ_out auth (edge_aggregate over the transpose —
+    the second sort order, same as bc_engine's backward sweep), each
+    half-step L1-normalized. Both halves are full-frontier dense sweeps
+    (like PageRank). Returns (auth, hub, forward engine)."""
+    eng = VertexEngine(graph)
+    eng_t = VertexEngine(graph_t)
+    n = graph.n_vertices
+    hub = np.ones(n, dtype=np.float64)
+    auth = np.zeros(n, dtype=np.float64)
+    for i in range(iters):
+        ids, vals = eng.edge_aggregate(hub, "sum", iteration=2 * i)
+        auth = np.zeros(n, dtype=np.float64)
+        auth[ids] = vals
+        s = auth.sum()
+        if s > 0:
+            auth /= s
+        ids, vals = eng_t.edge_aggregate(auth, "sum", iteration=2 * i + 1)
+        hub = np.zeros(n, dtype=np.float64)
+        hub[ids] = vals
+        s = hub.sum()
+        if s > 0:
+            hub /= s
+    return auth, hub, eng

@@ -626,3 +626,17 @@ def test_k_core_engine_matches_reference_and_message_budget(spark, built):
         # every directed edge dies at most once: total processed messages
         # across the whole peel are bounded by |E_sym|
         assert sum(m_.processed_edges for m_ in eng.metrics) <= simple.n_edges
+
+
+def test_hits_engine_matches_oracle(spark, built):
+    from geminigraph_spark.operators.algorithms import hits_engine
+
+    src, dst, w, n, g, sym, wg = built
+    df_t = spark.createDataFrame(
+        [(int(d), int(s)) for s, d in zip(src, dst)], "src long, dst long"
+    )
+    g_t = ChunkedGraph.build(spark, df_t, n_chunks=5, n_vertices=n)
+    wa, wh = O.hits_ref(src, dst, n, iters=5)
+    auth, hub, _ = hits_engine(g, g_t, iters=5)
+    assert np.allclose(auth, wa, atol=1e-12)
+    assert np.allclose(hub, wh, atol=1e-12)

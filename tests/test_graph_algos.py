@@ -397,3 +397,21 @@ def test_k_core_matches_reference_peeling(spark, g):
         assert np.array_equal(arr, want & present), f"k={k}"
         # vertices the ref puts in the core are all present in the output
         assert not (want & ~present).any()
+
+
+def test_hits_matches_reference_recurrence(spark, g):
+    from geminigraph_spark.functions.graph_algos import hits
+
+    src, dst, n, df = g
+    wa, wh = O.hits_ref(src, dst, n, iters=5)
+    got = hits(df, iters=5).toPandas().set_index("id")
+    ga = np.zeros(n)
+    gh = np.zeros(n)
+    ga[got.index.values] = got["auth"].values
+    gh[got.index.values] = got["hub"].values
+    present = np.zeros(n, dtype=bool)
+    present[got.index.values] = True
+    assert np.allclose(ga[present], wa[present], atol=1e-9)
+    assert np.allclose(gh[present], wh[present], atol=1e-9)
+    # absent vertices carry no mass in the reference either
+    assert np.allclose(wa[~present], 0) and np.allclose(wh[~present], 0)
