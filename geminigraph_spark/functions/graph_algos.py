@@ -804,7 +804,9 @@ def k_core(
     graphs — degeneracy ordering collapses in tens of rounds). Survivor
     sets are |V|-bounded and join by shuffle (broadcast only if AQE
     elects to); no driver-side state. Early exit compares survivor
-    counts — the same action that materializes the round's checkpoint."""
+    counts — the same action that materializes the round's LAZY
+    localCheckpoint (the interval-∞ lazy_chain=False discipline: one job
+    per round, lineage truncated every round)."""
     und = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
@@ -816,7 +818,7 @@ def k_core(
         und.select(F.col("b").alias("v"), F.col("a").alias("u"))
     )
     verts = _vertices_of(edges)
-    ck = _IntervalCkpt(checkpoint, 1, lazy_chain=False)
+    ck = _IntervalCkpt(checkpoint, 10**9, lazy_chain=False)
 
     live = ck.step(-1, adj)
     n_live = live.count()
