@@ -34,12 +34,17 @@ import time
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", required=True,
-                    choices=["pagerank", "cc", "lp", "sssp", "bfs", "bc", "tc"])
+                    choices=["pagerank", "ppr", "cc", "lp", "sssp", "bfs",
+                             "bc", "tc", "kcore", "hits"])
     ap.add_argument("--pages", help="pages table path (url, warc_ts, html, ...)")
     ap.add_argument("--edges", help="pre-encoded edge parquet (src, dst[, w])")
     ap.add_argument("--out", required=True)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--root", type=int, default=0)
+    ap.add_argument("--k", type=int, default=3,
+                    help="kcore: keep vertices with survivor-degree >= k")
+    ap.add_argument("--seed-mod", type=int, default=10,
+                    help="ppr: teleport seed set = vertices with id %% seed-mod == 0")
     ap.add_argument("--checkpoint-root", default="")
     ap.add_argument("--run-id", default="run")
     ap.add_argument("--resume", action="store_true")
@@ -150,6 +155,20 @@ def main() -> int:
 
     sym_needed = args.workload in ("cc", "lp")
     e = symmetrize_df(edges) if sym_needed else edges
+    if args.workload == "kcore":
+        # the k-core object is the SIMPLE undirected graph: distinct
+        # pairs shipped both directions, self-loops dropped
+        und = (
+            edges.where(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
+        )
+        e = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
     weighted = args.workload == "sssp"
     if weighted and "w" not in e.columns:
         # pages-derived (and plain src/dst) edges carry no weight column:
@@ -166,7 +185,9 @@ def main() -> int:
     # record it on save, validate on load (a symmetrized table silently
     # corrupts pagerank/bfs; an unweighted one crashes sssp)
     derivation = (
-        "symmetrized" if sym_needed else ("weighted" if weighted else "directed")
+        "simple_sym"
+        if args.workload == "kcore"
+        else ("symmetrized" if sym_needed else ("weighted" if weighted else "directed"))
     )
     if args.graph_table and os.path.exists(
         os.path.join(args.graph_table, "manifest.json")
@@ -178,18 +199,41 @@ def main() -> int:
             g.save(args.graph_table, derivation=derivation)
 
     start, start_iter = None, 0
+    if args.resume and args.workload in ("kcore", "hits"):
+        # kcore converges in few O(|E|)-total rounds and hits half-steps
+        # are cheap relative to snapshot IO; neither keeps snapshot state
+        raise SystemExit(f"--resume is not supported for {args.workload}")
     if args.resume and store is not None and args.workload != "bc":
         latest = store.latest()
         if latest is not None:
             start_iter, start = latest[0] + 1, latest[1]
 
-    if args.workload == "pagerank":
+    def load_or_build_transpose():
+        # the transpose is a second derivation-tagged table: reruns with
+        # --graph-table skip BOTH builds, mirroring the reference's O(1)
+        # transpose() reuse (core/graph.hpp:759-768)
+        gt_table = args.graph_table + "_t" if args.graph_table else ""
+        if gt_table and os.path.exists(os.path.join(gt_table, "manifest.json")):
+            return ChunkedGraph.load(spark, gt_table, expect_derivation="transposed")
+        gt = ChunkedGraph.build(
+            spark,
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            n_chunks=n_chunks,
+            n_vertices=g.n_vertices,
+        )
+        if gt_table:
+            gt.save(gt_table, derivation="transposed")
+        return gt
+
+    multi = None
+    if args.workload in ("pagerank", "ppr"):
         # Enforce the pagerank resume contract (pagerank_engine docstring;
         # ADVICE r4 low): every snapshot except the final iteration's is
         # PRE-DIVIDED; the final one is the undivided result. Snapshots
         # record their iters target + is_final so a --resume toward a
         # different target fails loudly instead of silently feeding the
-        # wrong state representation back into the recurrence.
+        # wrong state representation back into the recurrence. (ppr shares
+        # pagerank's state representation and therefore its contract.)
         if start is not None:
             ent = store.latest_entry() or {}
             ex = ent.get("extra") or {}
@@ -208,8 +252,7 @@ def main() -> int:
                     "the run would end without the undivided final step. "
                     f"Use --iters > {start_iter - 1} or start fresh."
                 )
-        vals, eng = A.pagerank_engine(
-            g,
+        kw = dict(
             iters=args.iters,
             on_state=hook(
                 g,
@@ -221,6 +264,12 @@ def main() -> int:
             start=start,
             start_iter=start_iter,
         )
+        if args.workload == "ppr":
+            seeds = np.zeros(g.n_vertices, dtype=bool)
+            seeds[:: max(1, args.seed_mod)] = True
+            vals, eng = A.ppr_engine(g, seeds, **kw)
+        else:
+            vals, eng = A.pagerank_engine(g, **kw)
         col = "rank"
     elif args.workload == "cc":
         wfro = None
@@ -266,6 +315,16 @@ def main() -> int:
             g, root=args.root, on_state=hook(g), start=start, start_iter=start_iter
         )
         col = "depth"
+    elif args.workload == "kcore":
+        alive, eng = A.k_core_engine(g, k=args.k)
+        vals = alive.astype(np.int32)
+        col = "in_core"
+    elif args.workload == "hits":
+        gt = load_or_build_transpose()
+        auth, hub, eng = A.hits_engine(g, gt, iters=args.iters)
+        multi = {"auth": auth, "hub": hub}
+        vals = auth  # for the |V| in the output frame
+        col = "auth"
     else:  # bc — two-phase; snapshots carry named arrays + phase marker
         import itertools
 
@@ -298,22 +357,7 @@ def main() -> int:
                 extra={"phase": phase, "level": int(level)},
             )
 
-        # the transpose is a second derivation-tagged table: reruns with
-        # --graph-table skip BOTH builds (forward graph above, transpose
-        # here), mirroring the reference's O(1) transpose() reuse
-        # (core/graph.hpp:759-768)
-        gt_table = args.graph_table + "_t" if args.graph_table else ""
-        if gt_table and os.path.exists(os.path.join(gt_table, "manifest.json")):
-            gt = ChunkedGraph.load(spark, gt_table, expect_derivation="transposed")
-        else:
-            gt = ChunkedGraph.build(
-                spark,
-                e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
-                n_chunks=n_chunks,
-                n_vertices=g.n_vertices,
-            )
-            if gt_table:
-                gt.save(gt_table, derivation="transposed")
+        gt = load_or_build_transpose()
         vals, eng = A.bc_engine(
             g,
             gt,
@@ -323,9 +367,12 @@ def main() -> int:
         )
         col = "bc"
 
-    out = spark.createDataFrame(
-        pd.DataFrame({"id": np.arange(len(vals)), col: vals})
-    )
+    cols = {"id": np.arange(len(vals))}
+    if multi is not None:
+        cols.update(multi)
+    else:
+        cols[col] = vals
+    out = spark.createDataFrame(pd.DataFrame(cols))
     out.write.mode("overwrite").parquet(args.out)
     if store is not None:
         write_metrics_parquet(store, eng.metrics)

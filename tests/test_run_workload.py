@@ -145,3 +145,44 @@ def test_bc_cli_interval_graph_table_and_resume(spark, tmp_path):
     )
     c = spark.read.parquet(out3).toPandas().sort_values("id").reset_index(drop=True)
     assert np.allclose(a["bc"].values, c["bc"].values, atol=0)
+
+
+def test_cli_extension_workloads_match_library(spark, tmp_path):
+    """ppr / kcore / hits through the CLI match the numpy references on
+    the same edge table (the CLI's only job is wiring: graph derivation,
+    seeds/k/iters plumbing, output schema)."""
+    from geminigraph_spark.functions import oracle_numpy as O
+
+    rng = np.random.default_rng(7)
+    n, m = 80, 500
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    edges = str(tmp_path / "edges")
+    spark.createDataFrame(
+        pd.DataFrame({"src": src, "dst": dst})
+    ).write.parquet(edges)
+
+    out = str(tmp_path / "ppr")
+    r = _run(["--workload", "ppr", "--edges", edges, "--out", out,
+              "--iters", "5", "--seed-mod", "10", "--n-chunks", "4"])
+    assert r["workload"] == "ppr"
+    got = pd.read_parquet(out).sort_values("id")
+    seeds = np.zeros(n, dtype=bool)
+    seeds[::10] = True
+    want = O.ppr_ref(src, dst, n, seeds, iters=5)
+    assert np.allclose(got["rank"].values, want, atol=1e-12)
+
+    out = str(tmp_path / "kcore")
+    r = _run(["--workload", "kcore", "--edges", edges, "--out", out,
+              "--k", "5", "--n-chunks", "4"])
+    got = pd.read_parquet(out).sort_values("id")
+    want = O.k_core_ref(src, dst, n, 5)
+    assert np.array_equal(got["in_core"].values.astype(bool), want)
+
+    out = str(tmp_path / "hits")
+    r = _run(["--workload", "hits", "--edges", edges, "--out", out,
+              "--iters", "4", "--n-chunks", "4"])
+    got = pd.read_parquet(out).sort_values("id")
+    wa, wh = O.hits_ref(src, dst, n, iters=4)
+    assert np.allclose(got["auth"].values, wa, atol=1e-12)
+    assert np.allclose(got["hub"].values, wh, atol=1e-12)
