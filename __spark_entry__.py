@@ -21,6 +21,7 @@ from geminigraph_spark.functions import sql_oracles as S
 from geminigraph_spark.functions import sql_oracles_docs as SD
 from geminigraph_spark.functions.edges import (
     events_edges,
+    graph_summary,
     host_edges,
     host_graph,
     sparse_events_edges,
@@ -65,6 +66,10 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees(events_edges(spark, sf_dir))
+
+
+def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_summary(spark, sf_dir)
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph workloads (SURVEY §2.3)
         "edge_table": q_edge_table,
         "degrees": q_degrees,
+        "graph_summary": q_graph_summary,
         "pagerank": q_pagerank,
         "pagerank_redistributed": q_pagerank_redistributed,
         "cc": q_cc,
@@ -260,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "edge_table": S.edge_table_sql(),
         "degrees": S.degrees_sql(),
+        "graph_summary": S.graph_summary_sql(),
         "pagerank": S.pagerank_sql(iters=20),
         "pagerank_redistributed": S.pagerank_redistributed_sql(iters=20),
         "cc": S.cc_sql(iters=25),

@@ -145,3 +145,38 @@ def sparse_events_edges(
         .cast("long")
         .alias("dst"),
     )
+
+
+def graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row describe() for the events edge table: vertex/edge counts,
+    self-loops, distinct-pair count (multigraph collapse factor), max/avg
+    degrees. One scan + two cheap aggregates — the first thing a user
+    runs on a new 100-TB edge table, and a pure-aggregation plan (no
+    driver state, no window)."""
+    e = events_edges(spark, sf_dir)
+    base = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum((F.col("src") == F.col("dst")).cast("long")).alias("n_self_loops"),
+    )
+    verts = e.select(F.col("src").alias("v")).unionByName(
+        e.select(F.col("dst").alias("v"))
+    ).agg(F.countDistinct("v").alias("n_vertices"))
+    pairs = e.select("src", "dst").distinct().agg(
+        F.count(F.lit(1)).alias("n_distinct_pairs")
+    )
+    degs = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.max("d").alias("max_out_degree"),
+            F.round(F.avg("d") * 1000000).cast("long").alias("avg_out_degree_ppm"),
+        )
+    )
+    return base.crossJoin(verts).crossJoin(pairs).crossJoin(degs).select(
+        "n_vertices",
+        "n_edges",
+        "n_self_loops",
+        "n_distinct_pairs",
+        "max_out_degree",
+        "avg_out_degree_ppm",
+    )

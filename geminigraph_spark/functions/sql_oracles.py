@@ -455,3 +455,23 @@ SELECT a.v AS id,
 FROM a{iters} a JOIN h{iters} h ON a.v = h.v"""
     )
     return "".join(parts)
+
+
+def graph_summary_sql() -> str:
+    """Oracle twin of edges.graph_summary (same six aggregates)."""
+    return f"""
+WITH edges AS MATERIALIZED ({EDGES_SQL}),
+base AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+    CAST(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT) AS n_self_loops
+  FROM edges),
+verts AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) AS n_vertices FROM (
+    SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+pairs AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_pairs FROM (
+    SELECT DISTINCT src, dst FROM edges)),
+degs AS MATERIALIZED (SELECT CAST(MAX(d) AS BIGINT) AS max_out_degree,
+    CAST(ROUND(AVG(d) * 1000000) AS BIGINT) AS avg_out_degree_ppm FROM (
+    SELECT COUNT(*) AS d FROM edges GROUP BY src))
+SELECT n_vertices, n_edges, n_self_loops, n_distinct_pairs,
+       max_out_degree, avg_out_degree_ppm
+FROM base, verts, pairs, degs
+"""

@@ -415,3 +415,21 @@ def test_hits_matches_reference_recurrence(spark, g):
     assert np.allclose(gh[present], wh[present], atol=1e-9)
     # absent vertices carry no mass in the reference either
     assert np.allclose(wa[~present], 0) and np.allclose(wh[~present], 0)
+
+
+def test_graph_summary_matches_pandas(spark):
+    """graph_summary's six aggregates vs a direct pandas recomputation
+    over the same derived edge list at sf0.001."""
+    from geminigraph_spark.functions.edges import events_edges, graph_summary
+
+    sf = "/root/testdata/sf0.001"
+    got = graph_summary(spark, sf).toPandas().iloc[0]
+    e = events_edges(spark, sf).toPandas()
+    verts = len(set(e["src"]) | set(e["dst"]))
+    assert got["n_vertices"] == verts
+    assert got["n_edges"] == len(e)
+    assert got["n_self_loops"] == int((e["src"] == e["dst"]).sum())
+    assert got["n_distinct_pairs"] == len(e.drop_duplicates(["src", "dst"]))
+    od = e.groupby("src").size()
+    assert got["max_out_degree"] == int(od.max())
+    assert got["avg_out_degree_ppm"] == int(round(od.mean() * 1e6))
