@@ -108,27 +108,38 @@ def _load_floors(cores: int, sf: str) -> dict:
 
 def _update_floors(updates: dict) -> None:
     """Fold quiet-window new bests back into bench_floors.json so the
-    record ratchets tighter round over round."""
-    if not updates:
-        return
+    record ratchets tighter round over round.
+
+    Deep jumps need TWO consecutive quiet runs (VERDICT r5 wrong #4 —
+    the written 0.6x guard let one quiet-night run ratchet eleven
+    all-time records at once, against the stated philosophy). A new best
+    within 15% of the standing record commits immediately (a normal
+    ratchet). A deeper one is PARKED in pending_floors_sec; it commits
+    only if the NEXT recorded run's quiet best is also deep (< 0.85x the
+    standing record), and then at the SLOWER of the two reads — the level
+    both runs demonstrably hit, not the single best flash. A pending not
+    re-confirmed by the immediately following run is discarded (it was
+    one anomalous window)."""
     try:
         with open(_FLOORS_PATH) as f:
             d = json.load(f)
     except (OSError, ValueError):
         return
     fl = d.setdefault("floors_sec", {})
-    for k, v in updates.items():
+    pend = d.pop("pending_floors_sec", {})
+    new_pend = {}
+    for k, v in (updates or {}).items():
         cur = fl.get(k)
-        # ratchet guard: a single read >40% under the standing record is
-        # more likely a measurement fluke (page-cache alignment, timer
-        # skew) than a real 1.7x improvement with unchanged code — one
-        # such outlier would permanently flag every honest quiet run as
-        # below_floor, burning retries forever. Record it in the run's
-        # own artifact (it already is, via queries/leg_load) but don't
-        # move the floor until a second quiet run confirms the regime.
-        if cur is not None and v < 0.6 * cur:
-            continue
-        fl[k] = round(min(cur, v) if cur is not None else v, 3)
+        if cur is None or v >= 0.85 * cur:
+            fl[k] = round(min(cur, v) if cur is not None else v, 3)
+        elif k in pend:
+            fl[k] = round(min(cur, max(v, float(pend[k]))), 3)
+        else:
+            new_pend[k] = round(v, 3)
+    if new_pend:
+        d["pending_floors_sec"] = new_pend
+    if not updates and not pend:
+        return  # nothing changed — don't rewrite the file
     tmp = _FLOORS_PATH + ".tmp"
     with open(tmp, "w") as f:
         json.dump(d, f, indent=2, sort_keys=True)
@@ -281,6 +292,32 @@ def _drain(spark, secs: float = 2.0) -> None:
     time.sleep(secs)
 
 
+def _synth_edges_df(spark, V: int, E: int, seed: int, n_parts: int):
+    """The synth edge stream (operators/synth.edge_of) as a DataFrame —
+    used to derive the transpose and simple-sym graphs the extension
+    kernels need (generation/build is outside every timed region)."""
+    import pandas as pd
+
+    from geminigraph_spark.operators.synth import edge_of
+
+    def gen(batches):
+        for pdf in batches:
+            g = pdf["id"].values
+            s, d = edge_of(g, V, seed)
+            yield pd.DataFrame({"src": s, "dst": d})
+
+    return spark.range(0, E, 1, n_parts).mapInPandas(gen, "src long, dst long")
+
+
+def _ext_enabled() -> bool:
+    """Extension-kernel legs (PPR / HITS / k-core) run under the same
+    floors/retries quiet-certification as every other leg (VERDICT r5
+    missing #2 — they previously lived only in tools/bench_extensions.py,
+    single-shot, weather-dominated). Scaling subprocesses disable them to
+    keep the N-vs-4N legs identical to prior rounds."""
+    return os.environ.get("SPARK_GRAFT_BENCH_EXT", "1") == "1"
+
+
 def _synth_section(spark, cores: int, q: dict, meta: dict) -> None:
     from geminigraph_spark.operators.algorithms import cc_engine, pagerank_engine
     from geminigraph_spark.operators.synth import synth_graph
@@ -304,6 +341,8 @@ def _synth_section(spark, cores: int, q: dict, meta: dict) -> None:
 
         _leg(spark, q, meta, "synth_pagerank20",
              lambda: pagerank_engine(g, iters=20), runs=R)
+        if _ext_enabled():
+            _ext_directed_legs(spark, g, V, E, n_chunks, spill, q, meta, R)
         g.unpersist()
 
         t0 = time.time()
@@ -321,6 +360,8 @@ def _synth_section(spark, cores: int, q: dict, meta: dict) -> None:
         cc_eng = cell["eng"]
         cc_trav = int(sum(m.active_edges for m in cc_eng.metrics))
         sym.unpersist()
+        if _ext_enabled():
+            _ext_kcore_leg(spark, V, E, n_chunks, spill, q, meta, R)
 
         meta["synth"] = {
             "n_vertices": V,
@@ -342,6 +383,91 @@ def _synth_section(spark, cores: int, q: dict, meta: dict) -> None:
         if not shared:
             shutil.rmtree(spill, ignore_errors=True)
             shutil.rmtree(spill + "_s", ignore_errors=True)
+        # ext-leg spills are always this process's own (never shared)
+        shutil.rmtree(spill + "_t", ignore_errors=True)
+        shutil.rmtree(spill + "_k", ignore_errors=True)
+
+
+def _ext_directed_legs(spark, g, V, E, n_chunks, spill, q, meta, R) -> None:
+    """PPR and HITS on the warm directed graph, quiet-certified like every
+    other leg. PPR reuses ``g`` directly; HITS additionally needs the
+    transpose (built untimed — the reference's transpose() is likewise a
+    load-time artifact, core/graph.hpp:759-768)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geminigraph_spark.operators.algorithms import hits_engine, ppr_engine
+    from geminigraph_spark.operators.chunked_graph import ChunkedGraph
+
+    seeds = np.zeros(V, dtype=bool)
+    seeds[::1000] = True
+    _leg(spark, q, meta, "synth_ppr20",
+         lambda: ppr_engine(g, seeds, iters=20), runs=R)
+
+    t0 = time.time()
+    e = _synth_edges_df(spark, V, E, seed=42, n_parts=n_chunks)
+    g_t = ChunkedGraph.build(
+        spark,
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        n_chunks=n_chunks, n_vertices=V, spill_dir=spill + "_t",
+    )
+    q["synth_gen_t"] = time.time() - t0
+    _leg(spark, q, meta, "synth_hits10",
+         lambda: hits_engine(g, g_t, iters=10), runs=R)
+    g_t.unpersist()
+    meta.setdefault("gteps_ext", {})
+    meta["gteps_ext"]["ppr20"] = round(20 * E / q["synth_ppr20"] / 1e9, 4)
+    # each HITS iteration is two full-|E| sweeps (auth + hub half-steps)
+    meta["gteps_ext"]["hits10"] = round(2 * 10 * E / q["synth_hits10"] / 1e9, 4)
+
+
+def _ext_kcore_leg(spark, V, E, n_chunks, spill, q, meta, R) -> None:
+    """k-core peeling on the simple symmetrized synth graph (distinct
+    undirected pairs both directions, self-loops dropped), quiet-certified.
+    k=40 sits just above the synth graph's mean undirected degree, so the
+    peel cascades several real rounds (same choice as
+    tools/bench_extensions.py)."""
+    from pyspark.sql import functions as F
+
+    from geminigraph_spark.operators.algorithms import k_core_engine
+    from geminigraph_spark.operators.chunked_graph import ChunkedGraph
+
+    k = int(os.environ.get("SPARK_GRAFT_BENCH_KCORE_K", 40))
+    t0 = time.time()
+    e = _synth_edges_df(spark, V, E, seed=42, n_parts=n_chunks)
+    und = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    simple = ChunkedGraph.build(
+        spark,
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        ),
+        n_chunks=n_chunks, n_vertices=V, spill_dir=spill + "_k",
+    )
+    q["synth_gen_simple"] = time.time() - t0
+    cell: dict = {}
+
+    def run_kcore():
+        _alive, cell["eng"] = k_core_engine(simple, k=k)
+
+    _leg(spark, q, meta, f"synth_kcore{k}", run_kcore, runs=R)
+    eng = cell["eng"]
+    # peel messages actually processed (the engine measures them in-task;
+    # same accounting as tools/bench_extensions.py kcore_msgs)
+    trav = int(sum(max(m.processed_edges, 0) for m in eng.metrics))
+    e_simple = int(simple.n_edges)
+    simple.unpersist()
+    meta.setdefault("gteps_ext", {})
+    meta["ext_kcore"] = {
+        "k": k,
+        "e_simple_sym": e_simple,
+        "rounds": len(eng.metrics),
+        "edges_traversed": trav,
+    }
+    meta["gteps_ext"][f"kcore{k}"] = round(trav / q[f"synth_kcore{k}"] / 1e9, 4)
 
 
 def _synth_large_section(spark, q: dict, meta: dict) -> None:
@@ -630,6 +756,10 @@ def run_scaling(sf_dir: str, cores_list: list[int]) -> dict:
             # narrow levels grind: fewer repeats, longer rope — a lost
             # level must degrade the report, never zero it
             env.setdefault("SPARK_GRAFT_BENCH_REPEATS", "3" if n >= 8 else "2")
+            # scaling legs stay identical to prior rounds' (PR20 + CC
+            # only); set SPARK_GRAFT_BENCH_EXT=1 explicitly for an
+            # extension-kernel scaling study
+            env.setdefault("SPARK_GRAFT_BENCH_EXT", "0")
             try:
                 p = subprocess.run(
                     [sys.executable, __file__, "--sf-dir", sf_dir, "--synth-only"],

@@ -415,10 +415,18 @@ a{t} AS MATERIALIZED (SELECT e.v FROM adj e
     JOIN a{t-1} s2 ON e.u = s2.v
     GROUP BY e.v HAVING COUNT(*) >= {k})"""
         )
+    # Fixpoint guard (ADVICE r5 low): the Spark kernel peels to fixpoint
+    # while this oracle unrolls a fixed depth — on a deeper-peeling input
+    # the under-peeled oracle would silently blame the kernel. If the last
+    # two rounds still differ, the oracle itself is unconverged: fail the
+    # gate loudly from the oracle side instead.
     parts.append(
         f"""
 SELECT sverts.v AS id,
-       CAST(CASE WHEN c.v IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS in_core
+       CAST(CASE WHEN (SELECT COUNT(*) FROM a{rounds - 1})
+                      <> (SELECT COUNT(*) FROM a{rounds})
+                 THEN error('k_core oracle unconverged after {rounds} rounds; raise rounds')
+                 WHEN c.v IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS in_core
 FROM sverts LEFT JOIN a{rounds} c ON sverts.v = c.v"""
     )
     return "".join(parts)

@@ -105,7 +105,17 @@ def links_from_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     # 2. classify + resolve against the source page (RFC 3986 §5.3)
     srcs = pd.Series(src)
     has_scheme = h.str.match(SCHEME_RE).fillna(False)
-    is_http = h.str.match(r"^https?://").fillna(False)
+    # RFC 3986 §3.1: schemes are case-insensitive — HTTP://h/p is an
+    # absolute http link, not scheme-noise (ADVICE r5 low). Classify
+    # case-insensitively, then canonicalize the scheme to lowercase so
+    # the emitted URL space stays single-cased (dictionary encoding
+    # would otherwise mint two vertex ids for one page).
+    is_http = h.str.match(r"(?i)^https?://").fillna(False)
+    mixed = is_http & ~h.str.match(r"^https?://").fillna(False)
+    if bool(mixed.any()):
+        low = h[mixed].str.replace(r"(?i)^https://", "https://", regex=True)
+        low = low.str.replace(r"(?i)^http://", "http://", regex=True)
+        h = h.where(~mixed, low)
     keep = (~has_scheme | is_http).values  # drop mailto:/javascript:/…
     proto_rel = ~has_scheme & h.str.startswith("//")
     root_rel = ~has_scheme & ~proto_rel & h.str.startswith("/")

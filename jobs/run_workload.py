@@ -238,6 +238,20 @@ def main() -> int:
             ent = store.latest_entry() or {}
             ex = ent.get("extra") or {}
             tgt = ex.get("iters_target")
+            # ppr snapshots also pin the teleport vector's identity
+            # (ADVICE r5 medium): resuming with a different --seed-mod
+            # would feed state from one seed set into a recurrence with
+            # another teleport vector — a silent hybrid, never a crash.
+            if args.workload == "ppr":
+                snap_sm = ex.get("seed_mod")
+                if snap_sm is not None and snap_sm != args.seed_mod:
+                    raise SystemExit(
+                        f"--resume: snapshot was written by a ppr run with "
+                        f"--seed-mod {snap_sm}, not {args.seed_mod}; the "
+                        "teleport vectors differ, so resuming would converge "
+                        "to a hybrid of two recurrences. Use the original "
+                        "--seed-mod or start fresh."
+                    )
             if ex.get("is_final") and args.iters != tgt:
                 raise SystemExit(
                     f"--resume: newest snapshot is the FINAL (undivided) state "
@@ -252,14 +266,14 @@ def main() -> int:
                     "the run would end without the undivided final step. "
                     f"Use --iters > {start_iter - 1} or start fresh."
                 )
+        extra = {"iters_target": args.iters}
+        if args.workload == "ppr":
+            extra["seed_mod"] = args.seed_mod
         kw = dict(
             iters=args.iters,
             on_state=hook(
                 g,
-                extra_fn=lambda i: {
-                    "iters_target": args.iters,
-                    "is_final": i == args.iters - 1,
-                },
+                extra_fn=lambda i: dict(extra, is_final=i == args.iters - 1),
             ),
             start=start,
             start_iter=start_iter,

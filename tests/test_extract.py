@@ -89,6 +89,26 @@ def test_full_relative_url_resolution():
     assert list(got["link_pos"]) == [0, 1, 2, 3, 4, 5, 6]
 
 
+def test_uppercase_schemes_kept_and_canonicalized():
+    """ADVICE r5 low: RFC 3986 schemes are case-insensitive — HTTP:// and
+    hTtPs:// absolute links are kept (not dropped as scheme-noise) and
+    emitted with a lowercase scheme; host/path case is preserved."""
+    html = (
+        '<a href="HTTP://up.example/Keep/Case">u1</a>'
+        '<a href="hTtPs://Mixed.example/q">u2</a>'
+        '<a href="MAILTO:x@y.example">DROPPED</a>'
+        '<a href="https://plain.example/p">plain</a>'
+    ).encode()
+    pdf = pd.DataFrame({"url": ["https://s.example/p/0"], "html": [html]})
+    got = links_from_pandas(pdf)
+    assert list(got["dst_url"]) == [
+        "http://up.example/Keep/Case",
+        "https://Mixed.example/q",
+        "https://plain.example/p",
+    ]
+    assert list(got["link_pos"]) == [0, 1, 2]
+
+
 def test_dot_segments_cannot_climb_above_root():
     html = b'<a href="../../../etc/passwd">x</a><a href="/../y">y</a>'
     pdf = pd.DataFrame({"url": ["https://h.example/a/b"], "html": [html]})
