@@ -150,6 +150,23 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(sparse_events_edges(spark, sf_dir), k=3)
 
 
+def q_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the events graph, ppm-rounded."""
+    from geminigraph_spark.functions.graph_algos import local_clustering
+
+    return _ppm(local_clustering(events_edges(spark, sf_dir)), "lcc", "lcc_ppm")
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (min-label FW-BW coloring) over the
+    sparse events subgraph — the full events graph is one giant SCC at
+    gate scale; the mod-40 subgraph has a 45-vertex SCC + 97 singletons
+    at sf0.01, a real directed-component structure."""
+    from geminigraph_spark.functions.graph_algos import strongly_connected_components
+
+    return strongly_connected_components(sparse_events_edges(spark, sf_dir))
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities, 10 L1-normalized iterations, ppm-rounded."""
     h = hits(events_edges(spark, sf_dir), iters=10)
@@ -223,6 +240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": q_ppr,
         "k_core": q_k_core,
         "hits": q_hits,
+        # directed-component structure + local clustering (A11/A12)
+        "scc": q_scc,
+        "local_clustering": q_lcc,
         # host-level link-graph rollup + a kernel composed over it
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -298,6 +318,8 @@ def oracle_sql() -> dict[str, str]:
         "ppr": S.ppr_sql(iters=10, seed_mod=10),
         "k_core": S.k_core_sql(k=3, rounds=20),
         "hits": S.hits_sql(iters=10),
+        "scc": S.scc_sql(),
+        "local_clustering": S.local_clustering_sql(),
         "host_graph": S.host_graph_sql(),
         "host_rank": S.host_rank_sql(iters=10),
         "token_stats": SD.token_stats_sql(),

@@ -995,3 +995,186 @@ def hits(
     )
     verts.unpersist()
     return out
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient over the simple undirected graph:
+    lcc(v) = 2·tri(v) / (d(v)·(d(v)−1)), where d is the simple degree
+    (distinct neighbors, self-loops dropped) and tri the per-vertex
+    triangle count (the A7 degree-ordered intersection). Vertices with
+    d < 2 get 0. Returns (id long, lcc double) over ALL vertices of the
+    edge multiset.
+
+    Scale shape: the triangle self-join is the dominant cost and is the
+    SAME skew-bounded oriented intersection as triangle_count; the rest
+    is one distinct + one groupBy + two left joins — no new shuffle
+    class beyond A7."""
+    verts = _vertices_of(edges)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    tpv = triangles_per_vertex(edges)
+    return (
+        verts.join(deg, "id", "left")
+        .join(tpv, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.coalesce(F.col("d"), F.lit(0)) >= 2,
+                (F.lit(2.0) * F.coalesce(F.col("n_tri"), F.lit(0)))
+                / (F.col("d") * (F.col("d") - F.lit(1))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_rounds: int = 64,
+    max_iters: int = 200,
+    checkpoint: Checkpointer = _default_ckpt,
+) -> DataFrame:
+    """Strongly connected components by min-label forward-backward
+    coloring (the standard distributed SCC shape — Orzan's coloring /
+    FW-BW): returns (id long, scc_id long) with scc_id = the component's
+    minimum member id, over all vertices of the directed edge multiset.
+
+    Per outer round, on the still-unassigned subgraph:
+      (TRIM) vertices with no in-edges or no out-edges in the remaining
+          subgraph are singleton SCCs — peel them iteratively until
+          stable (each pass is two cheap semi-joins, no fixpoint; this
+          retires entire tendril chains before the expensive phases, the
+          standard FW-BW trim);
+      (A) color(v) = min id that reaches v (incl. itself) — forward
+          min-label propagation to fixpoint;
+      (B) from every color-class root r (color(r) = r; exactly one per
+          class), propagate r BACKWARD along edges whose two endpoints share
+          the color; a vertex v is reached iff v reaches r within its
+          class. Then SCC(r) = {v : color(v) = r and v reached r}: if
+          color(v) = r and v→r, every vertex w on any v→r path has
+          color r (w < r would put w, which is mutually reachable with
+          r through the path and phase-A's r→v prefix, into r's SCC with
+          a smaller id — contradicting color(r) = r), so the backward
+          same-color propagation finds exactly the mutual set.
+    Assign those, drop them from the subgraph, repeat — every round
+    retires at least each class's root SCC, so rounds are bounded by the
+    longest root-chain of the SCC DAG (shallow on web-shaped graphs:
+    giant SCC + tendrils).
+
+    Both phases ARE _min_fixpoint, so the reference's sparse/dense
+    mode rule, broadcast cap and per-superstep lineage discipline apply
+    unchanged. Driver state: one count per round — no vertex or edge
+    data is ever collected."""
+    big = 1 << 62
+    rv = _vertices_of(edges).localCheckpoint()
+    re_ = edges.select("src", "dst").distinct().localCheckpoint()
+    assigned = None
+    n_rem = rv.count()
+    for _ in range(max_rounds):
+        if n_rem == 0:
+            break
+        # TRIM until stable: anything missing an in- or out-edge in the
+        # remaining subgraph cannot be in a (≥2)-cycle — it is its own SCC
+        while True:
+            # lazy localCheckpoints: the count() materializes keep (one
+            # job per trim pass); singles/re_ materialize on first use,
+            # off stable (checkpointed) inputs
+            keep = (
+                rv.join(
+                    re_.select(F.col("src").alias("id")).distinct(), "id", "semi"
+                ).join(
+                    re_.select(F.col("dst").alias("id")).distinct(), "id", "semi"
+                )
+            ).localCheckpoint(eager=False)
+            n_keep = keep.count()
+            if n_keep == n_rem:
+                break
+            singles = rv.join(keep, "id", "left_anti").select(
+                "id", F.col("id").alias("scc_id")
+            ).localCheckpoint(eager=False)
+            assigned = (
+                singles if assigned is None else assigned.unionByName(singles)
+            )
+            rv = keep
+            re_ = (
+                re_.join(rv.withColumnRenamed("id", "src"), "src", "semi")
+                .join(rv.withColumnRenamed("id", "dst"), "dst", "semi")
+                .localCheckpoint(eager=False)
+            )
+            n_rem = n_keep
+        if n_rem == 0:
+            break
+        re_p = re_.persist()
+        init_a = _with_outd(rv, re_p).select(
+            "id", F.col("id").alias("val"), "outd", F.lit(True).alias("changed")
+        )
+        colors = (
+            _min_fixpoint(re_p, init_a, F.col("vsrc"), max_iters, checkpoint)
+            .withColumnRenamed("val", "color")
+            .persist()
+        )
+        same_rev = (
+            re_p.join(
+                colors.select(F.col("id").alias("src"), F.col("color").alias("c1")),
+                "src",
+            )
+            .join(
+                colors.select(F.col("id").alias("dst"), F.col("color").alias("c2")),
+                "dst",
+            )
+            .where(F.col("c1") == F.col("c2"))
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            .persist()
+        )
+        init_b = (
+            _with_outd(colors.select("id"), same_rev)
+            .join(colors, "id")
+            .select(
+                "id",
+                F.when(F.col("color") == F.col("id"), F.col("id"))
+                .otherwise(F.lit(big))
+                .alias("val"),
+                "outd",
+                (F.col("color") == F.col("id")).alias("changed"),
+            )
+        )
+        reached = _min_fixpoint(
+            same_rev, init_b, F.col("vsrc"), max_iters, checkpoint
+        )
+        scc = (
+            reached.join(colors, "id")
+            .where(F.col("val") == F.col("color"))
+            .select("id", F.col("color").alias("scc_id"))
+            .localCheckpoint()
+        )
+        assigned = scc if assigned is None else assigned.unionByName(scc)
+        rv = rv.join(scc.select("id"), "id", "left_anti").localCheckpoint()
+        re_ = (
+            re_p.join(scc.select(F.col("id").alias("src")), "src", "left_anti")
+            .join(scc.select(F.col("id").alias("dst")), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        re_p.unpersist()
+        same_rev.unpersist()
+        colors.unpersist()
+        n_rem = rv.count()
+    else:
+        raise RuntimeError(
+            f"strongly_connected_components: {rv.count()} vertices still "
+            f"unassigned after max_rounds={max_rounds} (an SCC-DAG root "
+            "chain deeper than the bound); raise max_rounds."
+        )
+    return assigned

@@ -483,3 +483,53 @@ SELECT n_vertices, n_edges, n_self_loops, n_distinct_pairs,
        max_out_degree, avg_out_degree_ppm
 FROM base, verts, pairs, degs
 """
+
+
+def local_clustering_sql() -> str:
+    """Oracle twin of graph_algos.local_clustering: 2·tri/(d·(d−1)) over
+    the simple undirected graph, 0 below degree 2, ppm-rounded. The tri
+    CTE is triangles_per_vertex_sql's oriented intersection verbatim."""
+    return (
+        _PRELUDE
+        + """
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst),
+deg AS MATERIALIZED (SELECT v, COUNT(*) AS c
+        FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+o AS MATERIALIZED (SELECT CASE WHEN (da.c < db.c) OR (da.c = db.c AND a < b) THEN a ELSE b END AS lo,
+             CASE WHEN (da.c < db.c) OR (da.c = db.c AND a < b) THEN b ELSE a END AS hi
+      FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v),
+tri AS MATERIALIZED (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+      FROM o e1 JOIN o e2 ON e1.hi = e2.lo JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+tpv AS MATERIALIZED (SELECT v, COUNT(*) AS t FROM (
+  SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri UNION ALL SELECT z AS v FROM tri
+) GROUP BY v)
+SELECT verts.v AS id,
+       CAST(ROUND(CASE WHEN COALESCE(deg.c, 0) >= 2
+                 THEN (2.0 * COALESCE(tpv.t, 0)) / (deg.c * (deg.c - 1))
+                 ELSE 0.0 END * 1000000) AS BIGINT) AS lcc_ppm
+FROM verts LEFT JOIN deg ON verts.v = deg.v LEFT JOIN tpv ON verts.v = tpv.v
+"""
+    )
+
+
+def scc_sql() -> str:
+    """Oracle twin of graph_algos.strongly_connected_components over the
+    sparse events subgraph: scc_id(v) = MIN u with v →* u AND u →* v,
+    computed from the full recursive-CTE reachability closure (exact and
+    engine-agnostic; the closure is ~|V|² pairs at gate scale)."""
+    return f"""WITH sedges AS MATERIALIZED ({SPARSE_EDGES_SQL}),
+sverts AS MATERIALIZED (SELECT DISTINCT v FROM (
+    SELECT src AS v FROM sedges UNION ALL SELECT dst AS v FROM sedges)),
+se AS MATERIALIZED (SELECT DISTINCT src, dst FROM sedges),
+reach AS MATERIALIZED (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT v, v FROM sverts
+    UNION
+    SELECT r.a, e.dst FROM r JOIN se e ON r.b = e.src
+  ) SELECT * FROM r
+)
+SELECT r1.a AS id, CAST(MIN(r1.b) AS BIGINT) AS scc_id
+FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+GROUP BY r1.a
+"""

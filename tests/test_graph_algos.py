@@ -501,3 +501,88 @@ def test_lp_warm_df_restricted_equals_full(spark, g):
     prior.unpersist()
     assert full.equals(restricted)
     assert rest_m[0].active_edges < full_m[0].active_edges
+
+
+def _scc_ref(src, dst, n):
+    """Closure-based SCC reference: scc_id = min mutual-reachability
+    partner (boolean-matrix transitive closure; fine at test |V|)."""
+    import numpy as np
+
+    A = np.zeros((n, n), dtype=bool)
+    A[src, dst] = True
+    R = A.copy()
+    np.fill_diagonal(R, True)
+    while True:
+        R2 = R | (R @ R)
+        if (R2 == R).all():
+            break
+        R = R2
+    M = R & R.T
+    return np.array([np.flatnonzero(M[v]).min() for v in range(n)])
+
+
+def test_scc_matches_closure_reference(spark, g):
+    from geminigraph_spark.functions.graph_algos import (
+        strongly_connected_components,
+    )
+
+    src, dst, n, df = g
+    got = strongly_connected_components(df).toPandas()
+    want = _scc_ref(src, dst, n)
+    present = sorted(set(src) | set(dst))
+    assert sorted(got["id"]) == present
+    gm = dict(zip(got["id"], got["scc_id"]))
+    for v in present:
+        assert gm[v] == want[v], (v, gm[v], want[v])
+
+
+def test_scc_trim_and_multi_round_chain():
+    """A chain of 2-cycles with tendrils: trim must retire the tendrils,
+    and the FW-BW rounds must peel the cycle chain front-to-back (the
+    root-chain case that needs >1 outer round)."""
+    import numpy as np
+
+    from geminigraph_spark.functions.graph_algos import (
+        strongly_connected_components,
+    )
+    from geminigraph_spark.session import get_spark
+
+    spark = get_spark("scc-chain", cores=4, shuffle_partitions=4)
+    # cycles {0,1}, {2,3}, {4,5} connected 1->2, 3->4; tendrils 6->0, 5->7
+    edges = [(0, 1), (1, 0), (2, 3), (3, 2), (4, 5), (5, 4),
+             (1, 2), (3, 4), (6, 0), (5, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = strongly_connected_components(df).toPandas()
+    gm = dict(zip(got["id"], got["scc_id"]))
+    assert gm == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 4, 6: 6, 7: 7}
+    src = np.array([e[0] for e in edges]); dst = np.array([e[1] for e in edges])
+    want = _scc_ref(src, dst, 8)
+    assert [gm[v] for v in range(8)] == list(want)
+
+
+def test_local_clustering_matches_direct(spark, g):
+    from geminigraph_spark.functions.graph_algos import local_clustering
+
+    src, dst, n, df = g
+    got = local_clustering(df).toPandas()
+    # direct: simple undirected adjacency sets
+    adj = {}
+    for s, d in zip(src, dst):
+        if s == d:
+            continue
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+    gm = dict(zip(got["id"], got["lcc"]))
+    assert set(gm) == set(np.concatenate([src, dst]).tolist())
+    for v, nbrs in adj.items():
+        dv = len(nbrs)
+        if dv < 2:
+            assert gm[v] == 0.0
+            continue
+        t = sum(
+            1
+            for a in nbrs
+            for b in nbrs
+            if a < b and b in adj.get(a, ())
+        )
+        assert abs(gm[v] - 2.0 * t / (dv * (dv - 1))) < 1e-12, v
