@@ -150,6 +150,24 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(sparse_events_edges(spark, sf_dir), k=3)
 
 
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geminigraph_spark.functions.graph_algos import degree_histogram
+
+    return degree_histogram(events_edges(spark, sf_dir))
+
+
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the deterministic sssp weights (the link
+    graph's anchor/position-weighted ranking), ppm-rounded."""
+    from geminigraph_spark.functions.graph_algos import pagerank_weighted
+
+    return _ppm(
+        pagerank_weighted(weighted_events_edges(spark, sf_dir), iters=20),
+        "rank",
+        "rank_ppm",
+    )
+
+
 def q_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient over the events graph, ppm-rounded."""
     from geminigraph_spark.functions.graph_algos import local_clustering
@@ -227,6 +245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": q_graph_summary,
         "pagerank": q_pagerank,
         "pagerank_redistributed": q_pagerank_redistributed,
+        "pagerank_weighted": q_pagerank_weighted,
+        "degree_histogram": q_degree_histogram,
         "cc": q_cc,
         "cc_warm_df": q_cc_warm,
         "label_propagation": q_lp,
@@ -306,6 +326,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_summary": S.graph_summary_sql(),
         "pagerank": S.pagerank_sql(iters=20),
         "pagerank_redistributed": S.pagerank_redistributed_sql(iters=20),
+        "pagerank_weighted": S.pagerank_weighted_sql(iters=20),
+        "degree_histogram": S.degree_histogram_sql(),
         "cc": S.cc_sql(iters=25),
         # warm start must land on the SAME fixpoint as a cold run
         "cc_warm_df": S.cc_sql(iters=25),

@@ -1178,3 +1178,62 @@ def strongly_connected_components(
             "chain deeper than the bound); raise max_rounds."
         )
     return assigned
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Web-graph degree distribution: one row per out-degree value with
+    the number of vertices at that degree (multiset degrees, 0 included
+    for sink-only vertices). Returns (out_degree long, n_vertices long).
+    Two shuffles (per-vertex degree, then per-degree count) — the
+    power-law sanity check every crawl analysis starts with."""
+    return (
+        degrees(edges)
+        .groupBy("out_degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+def pagerank_weighted(
+    wedges: DataFrame,
+    iters: int = 20,
+    d: float = 0.85,
+    checkpoint: Checkpointer = _default_ckpt,
+    ckpt_interval: int = 1,
+) -> DataFrame:
+    """Weighted PageRank: r ← (1-d) + d·Σ_in w·r_pre with the reference's
+    state conventions transplanted onto edge weights — state pre-divided
+    by the vertex's total OUT-WEIGHT between iterations, final iteration
+    undivided, zero-out-weight (dangling) mass dropped (pagerank.cpp:24-99
+    shape with w replacing the edge count). On a link graph the weight is
+    typically link-position- or anchor-derived (e.g. 1/(1+link_pos)).
+    wedges: (src, dst, w double); parallel edges add their weights.
+    Returns (id long, rank double)."""
+    ck = _IntervalCkpt(checkpoint, ckpt_interval, lazy_chain=True)
+    ew = wedges.groupBy("src", "dst").agg(F.sum("w").alias("w")).persist()
+    verts = _vertices_of(wedges)
+    deg = ew.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("outw"))
+    base = verts.join(deg, "id", "left").fillna(0.0, subset=["outw"]).persist()
+    base.count()
+    curr = base.select(
+        "id",
+        F.when(F.col("outw") > 0, F.lit(1.0) / F.col("outw"))
+        .otherwise(F.lit(1.0))
+        .alias("r"),
+    )
+    curr = ck.step(-1, curr)
+    for i in range(iters):
+        msgs = (
+            ew.join(curr.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w")).alias("s"))
+            .withColumnRenamed("dst", "id")
+        )
+        val = F.lit(1.0 - d) + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0))
+        if i != iters - 1:
+            r = F.when(F.col("outw") > 0, val / F.col("outw")).otherwise(val)
+        else:
+            r = val
+        curr = base.join(msgs, "id", "left").select("id", r.alias("r"))
+        curr = ck.step(i, curr, force=(i == iters - 1))
+    ew.unpersist()
+    return curr.select("id", F.col("r").alias("rank"))

@@ -533,3 +533,52 @@ SELECT r1.a AS id, CAST(MIN(r1.b) AS BIGINT) AS scc_id
 FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
 GROUP BY r1.a
 """
+
+
+def degree_histogram_sql() -> str:
+    return (
+        _PRELUDE
+        + """
+od AS MATERIALIZED (SELECT src AS v, COUNT(*) AS c FROM edges GROUP BY src),
+dv AS MATERIALIZED (SELECT verts.v, COALESCE(od.c, 0) AS deg
+     FROM verts LEFT JOIN od ON verts.v = od.v)
+SELECT CAST(deg AS BIGINT) AS out_degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM dv GROUP BY deg
+"""
+    )
+
+
+def pagerank_weighted_sql(iters: int = 20, d: float = 0.85) -> str:
+    """Weighted pagerank_sql twin: pre-divided by total out-weight,
+    undivided final iteration, zero-out-weight mass dropped; parallel
+    edges collapse by adding weights (same as the Spark kernel)."""
+    parts = [
+        f"""WITH wraw AS MATERIALIZED ({WEIGHTED_EDGES_SQL}),
+edges AS MATERIALIZED (SELECT src, dst, SUM(w) AS w FROM wraw GROUP BY src, dst),
+verts AS MATERIALIZED ({VERTICES_SQL}),
+deg AS MATERIALIZED (SELECT src AS v, SUM(w) AS outw FROM edges GROUP BY src),
+s0 AS MATERIALIZED (SELECT verts.v,
+              CASE WHEN COALESCE(deg.outw, 0) > 0 THEN 1.0/deg.outw ELSE 1.0 END AS r
+       FROM verts LEFT JOIN deg ON verts.v = deg.v)"""
+    ]
+    for k in range(1, iters + 1):
+        last = k == iters
+        val = f"({1.0 - d:.2f} + {d:.2f}*COALESCE(m.s, 0))"
+        expr = (
+            val
+            if last
+            else f"CASE WHEN COALESCE(deg.outw, 0) > 0 THEN {val}/deg.outw ELSE {val} END"
+        )
+        parts.append(
+            f""",
+s{k} AS MATERIALIZED (SELECT verts.v, {expr} AS r
+       FROM verts
+       LEFT JOIN (SELECT e.dst AS v, SUM(e.w * p.r) AS s
+                  FROM edges e JOIN s{k-1} p ON e.src = p.v GROUP BY e.dst) m
+         ON verts.v = m.v
+       LEFT JOIN deg ON verts.v = deg.v)"""
+        )
+    parts.append(
+        f"\nSELECT v AS id, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_ppm FROM s{iters}"
+    )
+    return "".join(parts)

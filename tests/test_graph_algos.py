@@ -586,3 +586,41 @@ def test_local_clustering_matches_direct(spark, g):
             if a < b and b in adj.get(a, ())
         )
         assert abs(gm[v] - 2.0 * t / (dv * (dv - 1))) < 1e-12, v
+
+
+def test_pagerank_weighted_matches_direct(spark, g):
+    """Weighted recurrence vs a direct numpy transcription (pre-divided
+    by out-weight, undivided final, dangling dropped)."""
+    from geminigraph_spark.functions.graph_algos import pagerank_weighted
+
+    src, dst, n, df = g
+    w = ((src * 7 + dst * 13) % 100) / 10.0 + 0.1
+    wdf = spark.createDataFrame(
+        [(int(s), int(d), float(x)) for s, d, x in zip(src, dst, w)],
+        "src long, dst long, w double",
+    )
+    iters, d_ = 6, 0.85
+    outw = np.zeros(n)
+    np.add.at(outw, src, w)
+    r = np.where(outw > 0, 1.0 / np.where(outw > 0, outw, 1.0), 1.0)
+    for i in range(iters):
+        s = np.zeros(n)
+        np.add.at(s, dst, w * r[src])
+        val = (1 - d_) + d_ * s
+        r = val if i == iters - 1 else np.where(outw > 0, val / np.where(outw > 0, outw, 1.0), val)
+    got = _as_array(pagerank_weighted(wdf, iters=iters), "id", "rank", n, np.nan)
+    present = ~np.isnan(got)
+    assert np.allclose(got[present], r[present], atol=1e-9)
+
+
+def test_degree_histogram_matches_direct(spark, g):
+    from geminigraph_spark.functions.graph_algos import degree_histogram
+
+    src, dst, n, df = g
+    got = degree_histogram(df).toPandas().set_index("out_degree")["n_vertices"]
+    import collections
+
+    od = collections.Counter(src.tolist())
+    verts = set(src.tolist()) | set(dst.tolist())
+    hist = collections.Counter(od.get(v, 0) for v in verts)
+    assert dict(got) == dict(hist)
