@@ -31,6 +31,7 @@ from geminigraph_spark.functions.graph_algos import (
     bc_dataframe,
     bfs_depths,
     connected_components,
+    coreness,
     degrees,
     hits,
     k_core,
@@ -150,6 +151,14 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(sparse_events_edges(spark, sf_dir), k=3)
 
 
+def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition (h-index fixpoint) over the same sparse
+    events subgraph as q_k_core — the full gate graph is near-complete,
+    so its decomposition is degenerate; the mod-40 subgraph takes a
+    real 13-round h-index fixpoint at sf0.01."""
+    return coreness(sparse_events_edges(spark, sf_dir))
+
+
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geminigraph_spark.functions.graph_algos import degree_histogram
 
@@ -261,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "hits": q_hits,
         # directed-component structure + local clustering (A11/A12)
+        "coreness": q_coreness,
         "scc": q_scc,
         "local_clustering": q_lcc,
         # host-level link-graph rollup + a kernel composed over it
@@ -340,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr": S.ppr_sql(iters=10, seed_mod=10),
         "k_core": S.k_core_sql(k=3, rounds=20),
         "hits": S.hits_sql(iters=10),
+        "coreness": S.coreness_sql(rounds=24),
         "scc": S.scc_sql(),
         "local_clustering": S.local_clustering_sql(),
         "host_graph": S.host_graph_sql(),

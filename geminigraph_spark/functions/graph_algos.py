@@ -1237,3 +1237,74 @@ def pagerank_weighted(
         curr = ck.step(i, curr, force=(i == iters - 1))
     ew.unpersist()
     return curr.select("id", F.col("r").alias("rank"))
+
+
+def coreness(
+    edges: DataFrame,
+    max_iters: int = 200,
+    checkpoint: Checkpointer = _default_ckpt,
+) -> DataFrame:
+    """Full core decomposition: coreness(v) = the largest k such that v
+    belongs to the k-core of the SIMPLE undirected graph (distinct
+    pairs, self-loops dropped — the same graph object as ``k_core``).
+    Returns (id long, coreness int) over ALL vertices of the input edge
+    multiset; isolated / self-loop-only vertices get 0.
+
+    Algorithm: distributed h-index fixpoint (Montresor et al.,
+    "Distributed k-Core Decomposition", and Lü et al.'s H-operator):
+    init c(v) = simple degree, iterate c(v) ← H({c(u) : u ∈ N(v)})
+    where H is the h-index — the largest h with ≥ h neighbor values
+    ≥ h. The sequence is monotone non-increasing (H over a vertex's
+    neighbors can never exceed its degree, and H is monotone in its
+    inputs) and its fixpoint is exactly the core number.
+
+    Scale shape: each iteration is one join (ship current values onto
+    the static adjacency) + one per-vertex sorted window (row_number
+    desc) + one max-aggregate — the window sort is O(d log d) per
+    vertex, partitioned BY vertex, so the only hot spot is the same
+    high-degree skew every neighborhood operator has (AQE skew-join
+    territory). Monotonicity makes the early exit a single scalar
+    aggregate: Σc strictly decreases until the fixpoint, so an
+    unchanged sum IS convergence — no per-row change join. Per-round
+    lineage truncation via the lazy-localCheckpoint discipline (the
+    sum aggregate doubles as the materializing action)."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    ).persist()
+    verts = _vertices_of(edges)
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    cur = verts.join(deg.withColumnRenamed("v", "id"), "id", "left").select(
+        "id", F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("c")
+    )
+    ck = _IntervalCkpt(checkpoint, 10**9, lazy_chain=False)
+    cur = ck.step(-1, cur)
+    total = cur.agg(F.sum("c")).first()[0]
+    ck.materialized()
+    w = Window.partitionBy("v").orderBy(F.col("cu").desc())
+    for i in range(max_iters):
+        nb = adj.join(
+            cur.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u"
+        )
+        h = (
+            nb.select("v", "cu", F.row_number().over(w).alias("rn"))
+            .groupBy("v")
+            .agg(F.max(F.least(F.col("rn"), F.col("cu"))).alias("h"))
+        )
+        cur = cur.join(h.withColumnRenamed("v", "id"), "id", "left").select(
+            "id", F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("c")
+        )
+        cur = ck.step(i, cur)
+        s = cur.agg(F.sum("c")).first()[0]
+        ck.materialized()
+        if s == total:
+            break
+        total = s
+    adj.unpersist()
+    return cur.select("id", F.col("c").cast("int").alias("coreness"))

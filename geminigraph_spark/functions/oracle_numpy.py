@@ -286,3 +286,33 @@ def hits_ref(
         if s > 0:
             hub /= s
     return auth, hub
+
+
+def coreness_ref(src: np.ndarray, dst: np.ndarray, n: int) -> np.ndarray:
+    """Exact core numbers by textbook sequential peeling on the SIMPLE
+    undirected graph (the same object as k_core_ref): peel level k = all
+    vertices of remaining degree <= k, cascading, before moving to k+1.
+    Returns an int array over 0..n-1; vertices absent from the simple
+    edge set get 0."""
+    m = src != dst
+    a = np.minimum(src[m], dst[m])
+    b = np.maximum(src[m], dst[m])
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    u = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    v = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    deg = np.bincount(u, minlength=n).astype(np.int64)
+    alive = np.zeros(n, dtype=bool)
+    alive[u] = True
+    core = np.zeros(n, dtype=np.int64)
+    k = 0
+    while alive.any():
+        while True:
+            drop = alive & (deg <= k)
+            if not drop.any():
+                break
+            core[drop] = k
+            alive &= ~drop
+            live = drop[u] & alive[v]
+            np.subtract.at(deg, v[live], 1)
+        k += 1
+    return core

@@ -432,6 +432,50 @@ FROM sverts LEFT JOIN a{rounds} c ON sverts.v = c.v"""
     return "".join(parts)
 
 
+def coreness_sql(rounds: int = 24) -> str:
+    """Full core decomposition over the sparse events subgraph, unrolled
+    as the h-index fixpoint the Spark kernel runs: c0 = simple degree,
+    c{{t}}(v) = H({{c{{t-1}}(u)}}) computed per vertex as
+    MAX(LEAST(row_number-by-desc-value, value)) over its neighbor list —
+    the standard SQL h-index. Monotone non-increasing, so an unchanged
+    SUM(c) between the last two rounds certifies convergence; if they
+    differ the oracle errors loudly instead of under-iterating (the
+    k_core fixpoint-guard convention)."""
+    parts = [
+        f"""WITH sedges AS MATERIALIZED ({SPARSE_EDGES_SQL}),
+sverts AS MATERIALIZED (SELECT DISTINCT v FROM (
+    SELECT src AS v FROM sedges UNION ALL SELECT dst AS v FROM sedges)),
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM sedges WHERE src <> dst),
+adj AS MATERIALIZED (SELECT a AS v, b AS u FROM und UNION ALL SELECT b AS v, a AS u FROM und),
+c0 AS MATERIALIZED (SELECT sverts.v, CAST(COALESCE(d.c, 0) AS BIGINT) AS c
+    FROM sverts LEFT JOIN (SELECT v, COUNT(*) AS c FROM adj GROUP BY v) d
+      ON sverts.v = d.v)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+c{t} AS MATERIALIZED (SELECT p.v, CAST(COALESCE(h.h, 0) AS BIGINT) AS c
+    FROM c{t-1} p LEFT JOIN (
+        SELECT v, MAX(LEAST(rn, cu)) AS h FROM (
+            SELECT a.v, q.c AS cu,
+                   ROW_NUMBER() OVER (PARTITION BY a.v ORDER BY q.c DESC) AS rn
+            FROM adj a JOIN c{t-1} q ON a.u = q.v)
+        GROUP BY v) h
+      ON p.v = h.v)"""
+        )
+    parts.append(
+        f"""
+SELECT v AS id,
+       CAST(CASE WHEN (SELECT SUM(c) FROM c{rounds - 1})
+                      <> (SELECT SUM(c) FROM c{rounds})
+                 THEN error('coreness oracle unconverged after {rounds} rounds; raise rounds')
+                 ELSE c END AS INTEGER) AS coreness
+FROM c{rounds}"""
+    )
+    return "".join(parts)
+
+
 def hits_sql(iters: int = 10) -> str:
     """HITS unrolled: one auth CTE + one hub CTE per iteration, each
     L1-normalized by a scalar-subquery sum (the same deterministic

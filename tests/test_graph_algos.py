@@ -9,6 +9,7 @@ from geminigraph_spark.functions.graph_algos import (
     bc_dataframe,
     bfs_depths,
     connected_components,
+    coreness,
     label_propagation,
     k_core,
     pagerank,
@@ -381,6 +382,28 @@ def test_ppr_matches_reference_recurrence(spark, g):
     assert np.allclose(got[present], want[present], atol=1e-9)
     # non-seed vertices with no path from a seed hold rank exactly 0
     assert (got[present] >= 0).all()
+
+
+def test_coreness_matches_reference_peeling(spark, g):
+    src, dst, n, df = g
+    want = O.coreness_ref(src, dst, n)
+    got = coreness(df).toPandas().set_index("id")["coreness"]
+    assert got.index.is_unique
+    assert np.array_equal(got.values, want[got.index.values])
+    # coreness is consistent with k_core at every occupied level:
+    # {v : coreness(v) >= k} IS the k-core
+    for k in (2, int(want.max())):
+        in_core = O.k_core_ref(src, dst, n, k)
+        assert np.array_equal(want[got.index.values] >= k,
+                              in_core[got.index.values]), f"k={k}"
+
+
+def test_coreness_isolated_and_self_loop_vertices_get_zero(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = coreness(df).toPandas().set_index("id")["coreness"].sort_index()
+    assert got.to_dict() == {0: 0, 1: 2, 2: 2, 3: 2}
 
 
 def test_k_core_matches_reference_peeling(spark, g):

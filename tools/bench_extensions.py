@@ -1,6 +1,12 @@
 """One-off scale evidence for the round-5 extension kernels (PPR, k-core,
 HITS) on the chunked engine at bench scale.
 
+NOTE (round 6): these kernels now ALSO run inside bench.py as
+quiet-certified legs (synth_ppr20 / synth_hits10 / synth_kcore40) with
+floors/retries — bench_floors.json is their authoritative record. This
+tool remains the two-parallelism A/B harness for an extension-kernel
+scaling study (run at two --cores on the same graph).
+
 Builds the SAME deterministic synth edge set bench.py's synth section uses
 (operators/synth.edge_of, seed 42), derives the graphs each kernel needs
 (directed for PPR, directed + transpose for HITS, simple symmetrized for

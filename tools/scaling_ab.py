@@ -45,6 +45,13 @@ def main() -> int:
                     SPARK_GRAFT_BENCH_V=os.environ.get("SPARK_GRAFT_BENCH_V", "1000000"),
                     SPARK_GRAFT_BENCH_E=os.environ.get("SPARK_GRAFT_BENCH_E", "240000000"),
                     SPARK_GRAFT_BENCH_REPEATS="2",
+                    # A/B legs measure the PR20+CC headline only — the
+                    # r6 extension legs (ppr/hits/kcore + their untimed
+                    # graph builds) would triple leg wall time without
+                    # touching the ratio (set =1 for an ext scaling study)
+                    SPARK_GRAFT_BENCH_EXT=os.environ.get(
+                        "SPARK_GRAFT_BENCH_EXT", "0"
+                    ),
                 )
                 p = subprocess.run(
                     [sys.executable, os.path.join(REPO, "bench.py"),
