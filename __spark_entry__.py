@@ -33,6 +33,8 @@ from geminigraph_spark.functions.graph_algos import (
     connected_components,
     coreness,
     degrees,
+    eccentricity,
+    harmonic_centrality,
     hits,
     k_core,
     label_propagation,
@@ -159,6 +161,38 @@ def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coreness(sparse_events_edges(spark, sf_dir))
 
 
+def _sparse_seeds(spark: SparkSession, sf_dir: str, mod: int = 7) -> DataFrame:
+    """Every mod-th vertex of the sparse events subgraph — the shared
+    seed set of the multi-source-BFS family (22 seeds at sf0.01)."""
+    e = sparse_events_edges(spark, sf_dir)
+    return (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .where(F.col("id") % mod == 0)
+    )
+
+
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality (multi-source BFS, undirected) over
+    the sparse events subgraph: depths reach 10 at sf0.01 — a real
+    multi-level frontier expansion, unlike the near-complete full
+    graph."""
+    e = sparse_events_edges(spark, sf_dir)
+    return _ppm(
+        harmonic_centrality(e, _sparse_seeds(spark, sf_dir)),
+        "harmonic",
+        "harmonic_ppm",
+    )
+
+
+def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-seed eccentricity (max over rows = BFS pseudo-diameter lower
+    bound) on the sparse events subgraph."""
+    e = sparse_events_edges(spark, sf_dir)
+    return eccentricity(e, _sparse_seeds(spark, sf_dir))
+
+
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geminigraph_spark.functions.graph_algos import degree_histogram
 
@@ -271,6 +305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         # directed-component structure + local clustering (A11/A12)
         "coreness": q_coreness,
+        "harmonic": q_harmonic,
+        "eccentricity": q_eccentricity,
         "scc": q_scc,
         "local_clustering": q_lcc,
         # host-level link-graph rollup + a kernel composed over it
@@ -351,6 +387,8 @@ def oracle_sql() -> dict[str, str]:
         "k_core": S.k_core_sql(k=3, rounds=20),
         "hits": S.hits_sql(iters=10),
         "coreness": S.coreness_sql(rounds=24),
+        "harmonic": S.harmonic_sql(rounds=16, seed_mod=7),
+        "eccentricity": S.eccentricity_sql(rounds=16, seed_mod=7),
         "scc": S.scc_sql(),
         "local_clustering": S.local_clustering_sql(),
         "host_graph": S.host_graph_sql(),

@@ -1308,3 +1308,126 @@ def coreness(
         total = s
     adj.unpersist()
     return cur.select("id", F.col("c").cast("int").alias("coreness"))
+
+
+def _simple_adj(edges: DataFrame, undirected: bool) -> DataFrame:
+    """Deduplicated adjacency (v, u): symmetrized distinct simple pairs
+    when undirected (self-loops dropped), distinct directed pairs
+    otherwise (self-loops kept — they never change a BFS depth)."""
+    if undirected:
+        und = (
+            edges.where(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
+        )
+        return und.select(
+            F.col("a").alias("v"), F.col("b").alias("u")
+        ).unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    return edges.select(
+        F.col("src").alias("v"), F.col("dst").alias("u")
+    ).distinct()
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    undirected: bool = True,
+    max_iters: int = 200,
+    checkpoint: Checkpointer = _default_ckpt,
+) -> DataFrame:
+    """Multi-source BFS: exact hop distance from every seed to every
+    vertex it reaches. ``seeds`` is a DataFrame with column ``id``.
+    Returns (id long, seed long, depth long) for REACHED pairs only —
+    the state is output-sensitive (≤ |S|·|V| rows, exactly the reached
+    pairs), not a dense |S|×|V| matrix. The workhorse under sampled
+    closeness/harmonic centrality and pseudo-diameter estimation
+    (the standard landmark/sketch shape: Eppstein-Wang, HyperANF's
+    exact-sample baseline).
+
+    Scale shape: per level one join of the CURRENT frontier (newly
+    reached (vertex, seed) pairs) against the static deduplicated
+    adjacency, one distinct, one anti-join against the visited set —
+    all hash-partitioned on vertex; no driver state beyond the
+    per-level row count that doubles as the early-exit test and the
+    lazy-localCheckpoint materializer. Levels are bounded by the
+    graph's (directed) eccentricity from the seed set, not max_iters.
+    A frontier row fans out once per level and dies — total traffic is
+    O(Σ_s |E reachable from s|), the MS-BFS bound (bitset-packed
+    engine variants shave the constant, not the asymptote)."""
+    adj = _simple_adj(edges, undirected).persist()
+    ck = _IntervalCkpt(checkpoint, 10**9, lazy_chain=False)
+    visited = seeds.select(
+        F.col("id").alias("v"), F.col("id").alias("s"), F.lit(0).cast("long").alias("d")
+    )
+    visited = ck.step(-1, visited)
+    visited.count()
+    ck.materialized()
+    frontier = visited.select("v", "s")
+    for i in range(max_iters):
+        cand = (
+            adj.join(frontier, "v")
+            .select(F.col("u").alias("v"), "s")
+            .distinct()
+        )
+        new = cand.join(visited.select("v", "s"), ["v", "s"], "left_anti").select(
+            "v", "s", F.lit(i + 1).cast("long").alias("d")
+        )
+        new = ck.step(2 * i, new)
+        n_new = new.count()
+        ck.materialized()
+        if n_new == 0:
+            break
+        visited = ck.step(2 * i + 1, visited.unionByName(new))
+        visited.count()
+        ck.materialized()
+        frontier = new.select("v", "s")
+    adj.unpersist()
+    return visited.select(
+        F.col("v").alias("id"), F.col("s").alias("seed"), F.col("d").alias("depth")
+    )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    undirected: bool = True,
+    max_iters: int = 200,
+    checkpoint: Checkpointer = _default_ckpt,
+) -> DataFrame:
+    """Sampled harmonic centrality: H(v) = Σ_{s ∈ seeds, d(s,v) > 0}
+    1/d(s,v) over the reached pairs of ``multi_source_bfs`` (the
+    Eppstein-Wang / landmark estimator — exact when seeds = V).
+    Unreached vertices score 0. Returns (id long, harmonic double)
+    over ALL vertices of the edge multiset. One groupBy over the
+    reached-pair table + one left join — the BFS dominates."""
+    ms = multi_source_bfs(edges, seeds, undirected, max_iters, checkpoint)
+    verts = _vertices_of(edges)
+    h = (
+        ms.where(F.col("depth") > 0)
+        .groupBy("id")
+        .agg(F.sum(F.lit(1.0) / F.col("depth")).alias("h"))
+    )
+    return verts.join(h, "id", "left").select(
+        "id", F.coalesce(F.col("h"), F.lit(0.0)).alias("harmonic")
+    )
+
+
+def eccentricity(
+    edges: DataFrame,
+    seeds: DataFrame,
+    undirected: bool = True,
+    max_iters: int = 200,
+    checkpoint: Checkpointer = _default_ckpt,
+) -> DataFrame:
+    """Per-seed eccentricity within its reachable set: ecc(s) =
+    max_{v reached} d(s, v). max over seeds is the standard BFS
+    pseudo-diameter lower bound (iGraph/NetworkX convention). Returns
+    (id long, ecc long) — one row per seed. One max-aggregate over the
+    multi_source_bfs reached-pair table."""
+    ms = multi_source_bfs(edges, seeds, undirected, max_iters, checkpoint)
+    return ms.groupBy("seed").agg(F.max("depth").alias("ecc")).select(
+        F.col("seed").alias("id"), F.col("ecc").cast("long").alias("ecc")
+    )

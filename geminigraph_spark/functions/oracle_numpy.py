@@ -316,3 +316,72 @@ def coreness_ref(src: np.ndarray, dst: np.ndarray, n: int) -> np.ndarray:
             np.subtract.at(deg, v[live], 1)
         k += 1
     return core
+
+
+def _bfs_depths_from(u: np.ndarray, v: np.ndarray, n: int, root: int) -> np.ndarray:
+    """Hop depths from root over directed pairs (u -> v); -1 unreached."""
+    d = np.full(n, -1, dtype=np.int64)
+    d[root] = 0
+    frontier = np.array([root], dtype=np.int64)
+    lvl = 0
+    while frontier.size:
+        m = np.isin(u, frontier)
+        nxt = np.unique(v[m])
+        nxt = nxt[d[nxt] == -1]
+        lvl += 1
+        d[nxt] = lvl
+        frontier = nxt
+    return d
+
+
+def ms_bfs_ref(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n: int,
+    seeds: np.ndarray,
+    undirected: bool = True,
+) -> dict[int, np.ndarray]:
+    """Multi-source BFS reference: per seed the full depth array (-1 for
+    unreached), on the simple undirected graph (self-loops dropped) when
+    ``undirected`` else on the distinct directed pairs."""
+    if undirected:
+        m = src != dst
+        a = np.minimum(src[m], dst[m])
+        b = np.maximum(src[m], dst[m])
+        pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+        u = np.concatenate([pairs[:, 0], pairs[:, 1]])
+        v = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    else:
+        pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+        u, v = pairs[:, 0], pairs[:, 1]
+    return {int(s): _bfs_depths_from(u, v, n, int(s)) for s in seeds}
+
+
+def harmonic_ref(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n: int,
+    seeds: np.ndarray,
+    undirected: bool = True,
+) -> np.ndarray:
+    """Sampled harmonic centrality: H(v) = sum over seeds s with
+    0 < d(s,v) of 1/d(s,v)."""
+    depths = ms_bfs_ref(src, dst, n, seeds, undirected)
+    h = np.zeros(n, dtype=np.float64)
+    for s, d in depths.items():
+        m = d > 0
+        h[m] += 1.0 / d[m]
+    return h
+
+
+def eccentricity_ref(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n: int,
+    seeds: np.ndarray,
+    undirected: bool = True,
+) -> dict[int, int]:
+    """Per-seed eccentricity within its reachable set (max finite BFS
+    depth)."""
+    depths = ms_bfs_ref(src, dst, n, seeds, undirected)
+    return {s: int(d.max()) for s, d in depths.items()}

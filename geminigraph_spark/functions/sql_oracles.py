@@ -476,6 +476,77 @@ FROM c{rounds}"""
     return "".join(parts)
 
 
+def _ms_bfs_cte(rounds: int, seed_mod: int) -> str:
+    """Shared WITH-prefix for the multi-source-BFS family: unrolled
+    level tables b{t}(s, v, d) = min hop distance from seed s to v using
+    <= t hops, over the UNDIRECTED simple sparse events subgraph, seeds =
+    sparse vertices with v % seed_mod = 0. Monotone (rows only appear,
+    mins only tighten), so stable COUNT+SUM(d) across the last two
+    levels certifies convergence — consumers fold the guard into their
+    final SELECT."""
+    parts = [
+        f"""WITH sedges AS MATERIALIZED ({SPARSE_EDGES_SQL}),
+sverts AS MATERIALIZED (SELECT DISTINCT v FROM (
+    SELECT src AS v FROM sedges UNION ALL SELECT dst AS v FROM sedges)),
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM sedges WHERE src <> dst),
+adj AS MATERIALIZED (SELECT a AS v, b AS u FROM und UNION ALL SELECT b AS v, a AS u FROM und),
+b0 AS MATERIALIZED (SELECT v AS s, v, CAST(0 AS BIGINT) AS d
+    FROM sverts WHERE v % {seed_mod} = 0)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+b{t} AS MATERIALIZED (SELECT s, v, MIN(d) AS d FROM (
+        SELECT s, v, d FROM b{t-1}
+        UNION ALL
+        SELECT p.s, e.u AS v, p.d + 1 AS d
+        FROM adj e JOIN b{t-1} p ON e.v = p.v)
+    GROUP BY s, v)"""
+        )
+    return "".join(parts)
+
+
+def _ms_bfs_guard(rounds: int, name: str) -> str:
+    """SQL boolean: true iff the last two unrolled levels differ."""
+    return (
+        f"(SELECT COUNT(*) FROM b{rounds - 1}) <> (SELECT COUNT(*) FROM b{rounds}) "
+        f"OR (SELECT SUM(d) FROM b{rounds - 1}) <> (SELECT SUM(d) FROM b{rounds})"
+    )
+
+
+def harmonic_sql(rounds: int = 16, seed_mod: int = 7) -> str:
+    """Sampled harmonic centrality over the sparse events subgraph:
+    H(v) = SUM(1/d(s,v)) over seeds with 0 < d, from the unrolled
+    multi-source BFS; ppm-rounded like every double-valued gate."""
+    return (
+        _ms_bfs_cte(rounds, seed_mod)
+        + f"""
+SELECT sverts.v AS id,
+       CAST(CASE WHEN {_ms_bfs_guard(rounds, 'harmonic')}
+                 THEN error('harmonic oracle unconverged after {rounds} rounds; raise rounds')
+                 ELSE ROUND(COALESCE(h.h, 0) * 1000000) END AS BIGINT) AS harmonic_ppm
+FROM sverts LEFT JOIN (SELECT v, SUM(1.0 / d) AS h FROM b{rounds}
+                       WHERE d > 0 GROUP BY v) h
+  ON sverts.v = h.v"""
+    )
+
+
+def eccentricity_sql(rounds: int = 16, seed_mod: int = 7) -> str:
+    """Per-seed eccentricity within its reachable set (max finite BFS
+    depth) over the sparse events subgraph — max over rows is the BFS
+    pseudo-diameter lower bound."""
+    return (
+        _ms_bfs_cte(rounds, seed_mod)
+        + f"""
+SELECT s AS id,
+       CAST(CASE WHEN {_ms_bfs_guard(rounds, 'eccentricity')}
+                 THEN error('eccentricity oracle unconverged after {rounds} rounds; raise rounds')
+                 ELSE MAX(d) END AS BIGINT) AS ecc
+FROM b{rounds} GROUP BY s"""
+    )
+
+
 def hits_sql(iters: int = 10) -> str:
     """HITS unrolled: one auth CTE + one hub CTE per iteration, each
     L1-normalized by a scalar-subquery sum (the same deterministic

@@ -10,8 +10,11 @@ from geminigraph_spark.functions.graph_algos import (
     bfs_depths,
     connected_components,
     coreness,
+    eccentricity,
+    harmonic_centrality,
     label_propagation,
     k_core,
+    multi_source_bfs,
     pagerank,
     personalized_pagerank,
     sssp,
@@ -404,6 +407,37 @@ def test_coreness_isolated_and_self_loop_vertices_get_zero(spark):
     )
     got = coreness(df).toPandas().set_index("id")["coreness"].sort_index()
     assert got.to_dict() == {0: 0, 1: 2, 2: 2, 3: 2}
+
+
+def test_multi_source_bfs_matches_per_seed_bfs(spark, g):
+    src, dst, n, df = g
+    seed_ids = [0, 7, 31, 99]
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], "id long")
+    for und in (True, False):
+        want = O.ms_bfs_ref(src, dst, n, np.array(seed_ids), undirected=und)
+        got = multi_source_bfs(df, seeds, undirected=und).toPandas()
+        # reached pairs only, each exactly once
+        assert not got.duplicated(["id", "seed"]).any()
+        for s in seed_ids:
+            sub = got[got["seed"] == s].set_index("id")["depth"]
+            reached = np.flatnonzero(want[s] >= 0)
+            assert sorted(sub.index) == sorted(reached), f"seed={s} und={und}"
+            assert np.array_equal(
+                sub.sort_index().values, want[s][np.sort(reached)]
+            ), f"seed={s} und={und}"
+
+
+def test_harmonic_and_eccentricity_match_reference(spark, g):
+    src, dst, n, df = g
+    seed_ids = np.array([0, 7, 31, 99])
+    seeds = spark.createDataFrame([(int(s),) for s in seed_ids], "id long")
+    want_h = O.harmonic_ref(src, dst, n, seed_ids)
+    got_h = harmonic_centrality(df, seeds).toPandas().set_index("id")["harmonic"]
+    assert got_h.index.is_unique
+    assert np.allclose(got_h.values, want_h[got_h.index.values], atol=1e-12)
+    want_e = O.eccentricity_ref(src, dst, n, seed_ids)
+    got_e = eccentricity(df, seeds).toPandas().set_index("id")["ecc"].to_dict()
+    assert got_e == want_e
 
 
 def test_k_core_matches_reference_peeling(spark, g):
