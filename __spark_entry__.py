@@ -38,8 +38,10 @@ from geminigraph_spark.functions.graph_algos import (
     hits,
     k_core,
     label_propagation,
+    maximal_independent_set,
     pagerank,
     personalized_pagerank,
+    random_walks,
     sssp,
     triangle_count,
 )
@@ -193,6 +195,24 @@ def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eccentricity(e, _sparse_seeds(spark, sf_dir))
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks (DeepWalk/node2vec sampling prep) from
+    the mod-7 seeds over the sparse events subgraph — the hash-derived
+    neighbor choice makes every (seed, walk, step, vertex) row exactly
+    reproducible across engines."""
+    e = sparse_events_edges(spark, sf_dir)
+    return random_walks(
+        e, _sparse_seeds(spark, sf_dir), length=8, walks_per_seed=2
+    )
+
+
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-Luby maximal independent set over the sparse events
+    subgraph (fixed hash priorities — exactly reproducible, see
+    graph_algos.MIS_* constants)."""
+    return maximal_independent_set(sparse_events_edges(spark, sf_dir))
+
+
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geminigraph_spark.functions.graph_algos import degree_histogram
 
@@ -307,6 +327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "harmonic": q_harmonic,
         "eccentricity": q_eccentricity,
+        "random_walks": q_random_walks,
+        "mis": q_mis,
         "scc": q_scc,
         "local_clustering": q_lcc,
         # host-level link-graph rollup + a kernel composed over it
@@ -389,6 +411,10 @@ def oracle_sql() -> dict[str, str]:
         "coreness": S.coreness_sql(rounds=24),
         "harmonic": S.harmonic_sql(rounds=16, seed_mod=7),
         "eccentricity": S.eccentricity_sql(rounds=16, seed_mod=7),
+        "random_walks": S.random_walks_sql(
+            length=8, walks_per_seed=2, seed_mod=7
+        ),
+        "mis": S.mis_sql(rounds=12),
         "scc": S.scc_sql(),
         "local_clustering": S.local_clustering_sql(),
         "host_graph": S.host_graph_sql(),

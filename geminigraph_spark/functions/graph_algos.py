@@ -1431,3 +1431,203 @@ def eccentricity(
     return ms.groupBy("seed").agg(F.max("depth").alias("ecc")).select(
         F.col("seed").alias("id"), F.col("ecc").cast("long").alias("ecc")
     )
+
+
+#: deterministic walk-step mix constants — shared verbatim by the DuckDB
+#: oracle (sql_oracles.random_walks_sql) and the numpy reference
+#: (oracle_numpy.random_walks_ref). All operands are reduced below 2^21
+#: before multiplying, so every intermediate fits comfortably in int64 in
+#: all three engines (no overflow divergence even at 10^12-vertex ids).
+WALK_VMOD = 1000003
+WALK_VMUL = 69069
+WALK_SMUL = 40503
+WALK_WMUL = 12345
+WALK_ADD = 7
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    length: int = 8,
+    walks_per_seed: int = 1,
+    checkpoint: Checkpointer = _default_ckpt,
+) -> DataFrame:
+    """Deterministic random walks over the directed simple graph
+    (distinct (src, dst) pairs, neighbor order = dst ascending) — the
+    sampling primitive under DeepWalk/node2vec-style embedding
+    pipelines, made exactly reproducible: step t of walk w from seed s
+    moves from vertex v to its neighbor of rank
+    ((v % WALK_VMOD)·WALK_VMUL + t·WALK_SMUL + w·WALK_WMUL + WALK_ADD)
+    mod outdeg(v). A walk reaching a dangling vertex (no out-edges)
+    ends there. ``seeds`` has column ``id``. Returns
+    (seed long, walk long, step long, vertex long) — step 0 is the seed
+    itself; one row per visited position.
+
+    Scale shape: the ranked adjacency (per-src neighbor rank by one
+    window over dst) is built ONCE and reused every step; each step is
+    two hash joins keyed on the current vertex (degree lookup + ranked
+    neighbor lookup) over |S|·walks_per_seed rows — walk state never
+    touches the driver, and steps are bounded by ``length``, not a
+    fixpoint. Per-step lineage truncation via the lazy-localCheckpoint
+    discipline."""
+    de = edges.select("src", "dst").distinct()
+    rnw = Window.partitionBy("src").orderBy("dst")
+    ranked = de.select(
+        "src", "dst", (F.row_number().over(rnw) - 1).alias("rn")
+    ).persist()
+    deg = ranked.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    ck = _IntervalCkpt(checkpoint, 10**9, lazy_chain=False)
+    state = seeds.select(
+        F.col("id").alias("seed"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_seed - 1))
+        ).alias("walk"),
+        F.col("id").alias("vertex"),
+    ).withColumn("walk", F.col("walk").cast("long"))
+    out = state.select(
+        "seed", "walk", F.lit(0).cast("long").alias("step"), "vertex"
+    )
+    out = ck.step(-1, out)
+    out.count()
+    ck.materialized()
+    state = out.select("seed", "walk", "vertex")
+    for t in range(1, length + 1):
+        cur = state.join(
+            deg.withColumnRenamed("src", "vertex"), "vertex"
+        ).select(
+            "seed",
+            "walk",
+            F.col("vertex").alias("cur"),
+            (
+                (
+                    (F.col("vertex") % WALK_VMOD) * WALK_VMUL
+                    + F.lit(t * WALK_SMUL)
+                    + F.col("walk") * WALK_WMUL
+                    + F.lit(WALK_ADD)
+                )
+                % F.col("outd")
+            ).alias("idx"),
+        )
+        stepdf = cur.join(
+            ranked,
+            (cur["cur"] == ranked["src"]) & (cur["idx"] == ranked["rn"]),
+        ).select(
+            "seed",
+            "walk",
+            F.lit(t).cast("long").alias("step"),
+            F.col("dst").alias("vertex"),
+        )
+        stepdf = ck.step(t, stepdf)
+        n = stepdf.count()
+        ck.materialized()
+        if n == 0:
+            break
+        out = out.unionByName(stepdf)
+        state = stepdf.select("seed", "walk", "vertex")
+    ranked.unpersist()
+    return out
+
+
+#: deterministic MIS priority: p(v) = ((v % MIS_VMOD)·MIS_VMUL + MIS_ADD)
+#: % MIS_PMOD, ties broken by vertex id — shared verbatim by the DuckDB
+#: oracle and the numpy reference (all intermediates < 2^47: id-scale
+#: safe).
+MIS_VMOD = 1000003
+MIS_VMUL = 69069
+MIS_ADD = 12345
+MIS_PMOD = 999983
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    max_iters: int = 100,
+    checkpoint: Checkpointer = _default_ckpt,
+) -> DataFrame:
+    """Maximal independent set on the SIMPLE undirected graph (distinct
+    pairs, self-loops dropped — isolated / self-loop-only vertices are
+    trivially in the set), by Luby's algorithm made deterministic: per
+    round every still-live vertex whose (priority, id) is a strict local
+    minimum among live neighbors joins the set; it and its neighbors
+    leave the live graph. Priority = the fixed hash above, so the result
+    is exactly reproducible (and oracle-checkable) while keeping Luby's
+    O(log |V|) expected round bound — the hash is uniform enough that
+    the classic analysis applies per round. Returns (id long,
+    in_mis int) over ALL vertices of the edge multiset.
+
+    Scale shape: like ``k_core``, the live adjacency SHRINKS
+    monotonically — each round is one join (ship priorities), one
+    local-minimum anti-join, one neighbor semi-join to retire losers;
+    all shuffles are over the CURRENT live edges. No driver state; the
+    round's live-count aggregate doubles as the early exit and the
+    lazy-localCheckpoint materializer."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    verts = _vertices_of(edges)
+
+    def pri(c):
+        return ((c % MIS_VMOD) * MIS_VMUL + MIS_ADD) % MIS_PMOD
+
+    ck = _IntervalCkpt(checkpoint, 10**9, lazy_chain=False)
+    live = ck.step(-1, adj)
+    n_live = live.count()
+    ck.materialized()
+    mis = verts.select("id").where(F.lit(False))
+    # vertices with no simple edge at all are independent by vacuity
+    mis = mis.unionByName(
+        verts.join(adj.select(F.col("v").alias("id")).distinct(), "id", "left_anti")
+        .select("id")
+    )
+    i = 0
+    while n_live > 0 and i < max_iters:
+        # a live vertex wins iff NO live neighbor has a smaller
+        # (priority, id) key — expressed as an anti-join against the
+        # "has a better neighbor" set (identical shape in the SQL twin)
+        better = (
+            live.where(
+                (pri(F.col("u")) < pri(F.col("v")))
+                | (
+                    (pri(F.col("u")) == pri(F.col("v")))
+                    & (F.col("u") < F.col("v"))
+                )
+            )
+            .select("v")
+            .distinct()
+        )
+        lverts = live.select("v").distinct()
+        winners = lverts.join(better, "v", "left_anti")
+        mis = mis.unionByName(winners.select(F.col("v").alias("id")))
+        retired = winners.unionByName(
+            live.join(winners.withColumnRenamed("v", "w"), F.col("v") == F.col("w"))
+            .select(F.col("u").alias("v"))
+        ).distinct()
+        nxt = (
+            live.join(retired, "v", "left_anti")
+            .join(retired.withColumnRenamed("v", "u"), "u", "left_anti")
+        )
+        live = ck.step(2 * i, nxt)
+        n_live = live.count()
+        ck.materialized()
+        # vertices that lost all live neighbors without being retired
+        # re-enter as isolated next round and win by vacuity
+        still = live.select("v").distinct()
+        orphans = (
+            lverts.join(retired, "v", "left_anti")
+            .join(still, "v", "left_anti")
+        )
+        mis = mis.unionByName(orphans.select(F.col("v").alias("id")))
+        mis = ck.step(2 * i + 1, mis)
+        mis.count()
+        ck.materialized()
+        i += 1
+    flag = mis.distinct().withColumn("in_mis", F.lit(1))
+    return verts.join(flag, "id", "left").select(
+        "id", F.coalesce(F.col("in_mis"), F.lit(0)).cast("int").alias("in_mis")
+    )

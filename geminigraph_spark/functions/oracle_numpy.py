@@ -385,3 +385,63 @@ def eccentricity_ref(
     depth)."""
     depths = ms_bfs_ref(src, dst, n, seeds, undirected)
     return {s: int(d.max()) for s, d in depths.items()}
+
+
+def random_walks_ref(
+    src: np.ndarray,
+    dst: np.ndarray,
+    seeds: np.ndarray,
+    length: int = 8,
+    walks_per_seed: int = 1,
+) -> list[tuple[int, int, int, int]]:
+    """Deterministic random walks reference: identical neighbor-choice
+    arithmetic to graph_algos.random_walks (same constants, same
+    dst-ascending distinct-neighbor ranking). Returns a list of
+    (seed, walk, step, vertex) rows."""
+    VMOD, VMUL, SMUL, WMUL, ADD = 1000003, 69069, 40503, 12345, 7
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    nbrs: dict[int, np.ndarray] = {}
+    for s in np.unique(pairs[:, 0]):
+        nbrs[int(s)] = np.sort(pairs[pairs[:, 0] == s, 1])
+    rows = []
+    for s in seeds:
+        for w in range(walks_per_seed):
+            v = int(s)
+            rows.append((int(s), w, 0, v))
+            for t in range(1, length + 1):
+                out = nbrs.get(v)
+                if out is None:
+                    break
+                idx = ((v % VMOD) * VMUL + t * SMUL + w * WMUL + ADD) % len(out)
+                v = int(out[idx])
+                rows.append((int(s), w, t, v))
+    return rows
+
+
+def mis_ref(src: np.ndarray, dst: np.ndarray, n: int) -> np.ndarray:
+    """Deterministic maximal independent set reference: sequential greedy
+    over vertices sorted by the SAME (priority, id) key as the parallel
+    kernel — the lexicographically-first MIS under that order, which the
+    round-parallel local-minima process (graph_algos.
+    maximal_independent_set) provably also computes (greedy/parallel
+    equivalence for fixed orders, Blelloch-Fineman-Shun). Bool mask over
+    0..n-1; vertices with no simple edge are in the set."""
+    VMOD, VMUL, ADD, PMOD = 1000003, 69069, 12345, 999983
+    m = src != dst
+    a = np.minimum(src[m], dst[m])
+    b = np.maximum(src[m], dst[m])
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    nbrs: dict[int, list] = {}
+    for x, y in pairs:
+        nbrs.setdefault(int(x), []).append(int(y))
+        nbrs.setdefault(int(y), []).append(int(x))
+    pri = lambda v: ((v % VMOD) * VMUL + ADD) % PMOD
+    in_mis = np.zeros(n, dtype=bool)
+    blocked = np.zeros(n, dtype=bool)
+    for v in sorted(range(n), key=lambda v: (pri(v), v)):
+        if blocked[v]:
+            continue
+        in_mis[v] = True
+        for u in nbrs.get(v, ()):
+            blocked[u] = True
+    return in_mis

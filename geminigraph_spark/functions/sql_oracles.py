@@ -547,6 +547,102 @@ FROM b{rounds} GROUP BY s"""
     )
 
 
+def random_walks_sql(
+    length: int = 8, walks_per_seed: int = 2, seed_mod: int = 7
+) -> str:
+    """Deterministic random walks over the sparse events subgraph,
+    unrolled one CTE per step: neighbor rank = the SAME mix arithmetic
+    as graph_algos.random_walks (constants WALK_*), over the distinct
+    directed pairs with neighbors ranked dst-ascending. Walks end at
+    dangling vertices (inner join against the degree table drops them).
+    Seeds = sparse vertices with v % seed_mod = 0."""
+    VMOD, VMUL, SMUL, WMUL, ADD = 1000003, 69069, 40503, 12345, 7
+    parts = [
+        f"""WITH sedges AS MATERIALIZED ({SPARSE_EDGES_SQL}),
+sverts AS MATERIALIZED (SELECT DISTINCT v FROM (
+    SELECT src AS v FROM sedges UNION ALL SELECT dst AS v FROM sedges)),
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM sedges),
+ranked AS MATERIALIZED (SELECT src, dst,
+    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn FROM de),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS outd FROM de GROUP BY src),
+w0 AS MATERIALIZED (SELECT sverts.v AS seed, CAST(w.walk AS BIGINT) AS walk,
+    CAST(0 AS BIGINT) AS step, sverts.v AS vertex
+    FROM sverts, (SELECT CAST(range AS BIGINT) AS walk
+                  FROM range({walks_per_seed})) w
+    WHERE sverts.v % {seed_mod} = 0)"""
+    ]
+    for t in range(1, length + 1):
+        parts.append(
+            f""",
+w{t} AS MATERIALIZED (SELECT p.seed, p.walk, CAST({t} AS BIGINT) AS step, r.dst AS vertex
+    FROM w{t-1} p
+    JOIN deg d ON p.vertex = d.src
+    JOIN ranked r ON r.src = p.vertex
+     AND r.rn = ((p.vertex % {VMOD}) * {VMUL} + {t * SMUL}
+                 + p.walk * {WMUL} + {ADD}) % d.outd)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT seed, walk, step, vertex FROM w{t}" for t in range(length + 1)
+    )
+    parts.append(f"\n{union}")
+    return "".join(parts)
+
+
+def mis_sql(rounds: int = 12) -> str:
+    """Deterministic-Luby maximal independent set over the sparse events
+    subgraph, unrolled one CTE group per round: winners = live vertices
+    with no live neighbor of smaller (priority, id) key (the same hash
+    constants as the Spark kernel), retire winners + their neighbors,
+    accumulate winners plus orphaned vertices (live vertices whose whole
+    neighborhood retired without them). The live edge set must be EMPTY
+    after ``rounds`` rounds or the oracle errors (fixpoint guard)."""
+    VMOD, VMUL, ADD, PMOD = 1000003, 69069, 12345, 999983
+
+    def pri(c: str) -> str:
+        return f"((({c} % {VMOD}) * {VMUL} + {ADD}) % {PMOD})"
+
+    parts = [
+        f"""WITH sedges AS MATERIALIZED ({SPARSE_EDGES_SQL}),
+sverts AS MATERIALIZED (SELECT DISTINCT v FROM (
+    SELECT src AS v FROM sedges UNION ALL SELECT dst AS v FROM sedges)),
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM sedges WHERE src <> dst),
+l0 AS MATERIALIZED (SELECT a AS v, b AS u FROM und UNION ALL SELECT b AS v, a AS u FROM und),
+m0 AS MATERIALIZED (SELECT sverts.v FROM sverts
+    LEFT JOIN (SELECT DISTINCT v FROM l0) lv ON sverts.v = lv.v
+    WHERE lv.v IS NULL)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+lv{t} AS MATERIALIZED (SELECT DISTINCT v FROM l{t-1}),
+w{t} AS MATERIALIZED (SELECT v FROM lv{t} EXCEPT
+    SELECT DISTINCT v FROM l{t-1}
+    WHERE {pri('u')} < {pri('v')}
+       OR ({pri('u')} = {pri('v')} AND u < v)),
+ret{t} AS MATERIALIZED (SELECT v FROM w{t} UNION
+    SELECT l.u AS v FROM l{t-1} l JOIN w{t} w ON l.v = w.v),
+l{t} AS MATERIALIZED (SELECT l.v, l.u FROM l{t-1} l
+    LEFT JOIN ret{t} r1 ON l.v = r1.v
+    LEFT JOIN ret{t} r2 ON l.u = r2.v
+    WHERE r1.v IS NULL AND r2.v IS NULL),
+orph{t} AS MATERIALIZED (SELECT v FROM lv{t}
+    EXCEPT SELECT v FROM ret{t}
+    EXCEPT SELECT DISTINCT v FROM l{t}),
+m{t} AS MATERIALIZED (SELECT v FROM m{t-1}
+    UNION SELECT v FROM w{t} UNION SELECT v FROM orph{t})"""
+        )
+    parts.append(
+        f"""
+SELECT sverts.v AS id,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM l{rounds}) <> 0
+                 THEN error('mis oracle unconverged after {rounds} rounds; raise rounds')
+                 WHEN m.v IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS in_mis
+FROM sverts LEFT JOIN m{rounds} m ON sverts.v = m.v"""
+    )
+    return "".join(parts)
+
+
 def hits_sql(iters: int = 10) -> str:
     """HITS unrolled: one auth CTE + one hub CTE per iteration, each
     L1-normalized by a scalar-subquery sum (the same deterministic

@@ -514,3 +514,53 @@ def test_streaming_dedup_hashes_raw_bytes(spark, tmp_path):
     final = out.groupby("h")["n_copies"].max()
     assert len(final) == 2  # distinct raw bytes → distinct hashes
     assert sorted(final.values) == [1, 2]  # the \xff payload appears twice
+
+
+def test_streaming_incremental_cc_matches_cold(spark, tmp_path):
+    """Two edge micro-batches through the incremental-CC stream: batch 1
+    has two separate components, batch 2 bridges them plus adds a new
+    vertex pair. Final published labels must EQUAL cold CC over the full
+    accumulated edge table (warm HashMin exactness), and each version
+    directory must survive the next batch (immutable, manifest-swapped)."""
+    import numpy as np
+
+    from geminigraph_spark.functions.graph_algos import connected_components
+    from geminigraph_spark.streaming.ingest import (
+        read_cc_labels,
+        start_incremental_cc,
+    )
+
+    landing = str(tmp_path / "edge_landing")
+    b0 = [(0, 1), (1, 2), (10, 11)]
+    b1 = [(2, 10), (20, 21)]
+    spark.createDataFrame(b0, "src long, dst long").coalesce(1).write.parquet(
+        landing + "/b0"
+    )
+    spark.createDataFrame(b1, "src long, dst long").coalesce(1).write.parquet(
+        landing + "/b1"
+    )
+    state = str(tmp_path / "cc_state")
+    q = start_incremental_cc(
+        spark, landing + "/*", state, str(tmp_path / "ck_cc")
+    )
+    q.awaitTermination(180)
+
+    got = (
+        read_cc_labels(spark, state)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    full = spark.read.parquet(state + "/edges")
+    want = (
+        connected_components(full)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(got["id"].values, want["id"].values)
+    assert np.array_equal(got["label"].values, want["label"].values)
+    # the bridge merged 0-1-2 with 10-11; the new pair got its own label
+    lab = got.set_index("id")["label"].to_dict()
+    assert lab[11] == lab[0] == 0
+    assert lab[21] == lab[20] == 20

@@ -14,7 +14,9 @@ from geminigraph_spark.functions.graph_algos import (
     harmonic_centrality,
     label_propagation,
     k_core,
+    maximal_independent_set,
     multi_source_bfs,
+    random_walks,
     pagerank,
     personalized_pagerank,
     sssp,
@@ -438,6 +440,53 @@ def test_harmonic_and_eccentricity_match_reference(spark, g):
     want_e = O.eccentricity_ref(src, dst, n, seed_ids)
     got_e = eccentricity(df, seeds).toPandas().set_index("id")["ecc"].to_dict()
     assert got_e == want_e
+
+
+def test_random_walks_match_reference_exactly(spark, g):
+    src, dst, n, df = g
+    seed_ids = np.array([0, 7, 31, 99])
+    seeds = spark.createDataFrame([(int(s),) for s in seed_ids], "id long")
+    want = sorted(O.random_walks_ref(src, dst, seed_ids, length=6,
+                                     walks_per_seed=2))
+    got = sorted(
+        tuple(r)
+        for r in random_walks(df, seeds, length=6, walks_per_seed=2)
+        .toPandas()
+        .itertuples(index=False)
+    )
+    assert got == want
+    # every consecutive (step, step+1) pair is a real directed edge
+    pairs = {(int(s), int(d)) for s, d in zip(src, dst)}
+    by_walk: dict = {}
+    for s, w, t, v in got:
+        by_walk.setdefault((s, w), {})[t] = v
+    for steps in by_walk.values():
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in pairs
+
+
+def test_mis_matches_greedy_reference_and_invariants(spark, g):
+    src, dst, n, df = g
+    want = O.mis_ref(src, dst, n)
+    got = maximal_independent_set(df).toPandas().set_index("id")["in_mis"]
+    assert got.index.is_unique
+    assert np.array_equal(got.values.astype(bool), want[got.index.values])
+    # structural invariants, independent of the reference:
+    mis = set(got[got == 1].index)
+    simple = {
+        (min(int(s), int(d)), max(int(s), int(d)))
+        for s, d in zip(src, dst)
+        if s != d
+    }
+    # independence: no simple edge inside the set
+    assert not any(a in mis and b in mis for a, b in simple)
+    # maximality: every excluded vertex with an edge has a MIS neighbor
+    nb: dict = {}
+    for a, b in simple:
+        nb.setdefault(a, set()).add(b)
+        nb.setdefault(b, set()).add(a)
+    for v in got[got == 0].index:
+        assert nb.get(int(v)) and nb[int(v)] & mis, f"vertex {v} not maximal"
 
 
 def test_k_core_matches_reference_peeling(spark, g):
