@@ -1258,16 +1258,18 @@ def coreness(
     neighbors can never exceed its degree, and H is monotone in its
     inputs) and its fixpoint is exactly the core number.
 
-    Scale shape: each iteration is one join (ship current values onto
-    the static adjacency) + one per-vertex sorted window (row_number
-    desc) + one max-aggregate — the window sort is O(d log d) per
-    vertex, partitioned BY vertex, so the only hot spot is the same
-    high-degree skew every neighborhood operator has (AQE skew-join
-    territory). Monotonicity makes the early exit a single scalar
-    aggregate: Σc strictly decreases until the fixpoint, so an
-    unchanged sum IS convergence — no per-row change join. Per-round
-    lineage truncation via the lazy-localCheckpoint discipline (the
-    sum aggregate doubles as the materializing action)."""
+    Scale shape: FRONTIER-RESTRICTED like every fixpoint here — a
+    vertex's h-index can only move when a neighbor's value dropped, so
+    each iteration recomputes H only for vertices with a changed
+    in-neighbor (semi-join of the static adjacency against last round's
+    changed set), over their FULL neighbor lists; everyone else keeps
+    their value by a left-join coalesce. The per-vertex desc-sort
+    window (row_number) is O(d log d) on the touched subgraph only —
+    after the first few rounds that is a small fraction of |E| (the
+    same tail collapse the LP trace evidences). High-degree skew in the
+    window partition is the usual neighborhood-operator hot spot (AQE
+    territory). The changed-count aggregate doubles as the early exit
+    and the lazy-localCheckpoint materializer."""
     und = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
@@ -1285,11 +1287,13 @@ def coreness(
     )
     ck = _IntervalCkpt(checkpoint, 10**9, lazy_chain=False)
     cur = ck.step(-1, cur)
-    total = cur.agg(F.sum("c")).first()[0]
+    cur.count()
     ck.materialized()
+    changed = cur.select(F.col("id").alias("u"))  # round 0: everyone
     w = Window.partitionBy("v").orderBy(F.col("cu").desc())
     for i in range(max_iters):
-        nb = adj.join(
+        touched = adj.join(changed, "u").select("v").distinct()
+        nb = adj.join(touched, "v").join(
             cur.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u"
         )
         h = (
@@ -1297,15 +1301,18 @@ def coreness(
             .groupBy("v")
             .agg(F.max(F.least(F.col("rn"), F.col("cu"))).alias("h"))
         )
-        cur = cur.join(h.withColumnRenamed("v", "id"), "id", "left").select(
-            "id", F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("c")
+        nxt = cur.join(h.withColumnRenamed("v", "id"), "id", "left").select(
+            "id",
+            F.coalesce(F.col("h"), F.col("c")).cast("long").alias("c"),
+            (F.col("h") < F.col("c")).alias("dropped"),
         )
-        cur = ck.step(i, cur)
-        s = cur.agg(F.sum("c")).first()[0]
+        nxt = ck.step(i, nxt)
+        n_changed = nxt.where(F.col("dropped")).count()
         ck.materialized()
-        if s == total:
+        cur = nxt.select("id", "c")
+        if n_changed == 0:
             break
-        total = s
+        changed = nxt.where(F.col("dropped")).select(F.col("id").alias("u"))
     adj.unpersist()
     return cur.select("id", F.col("c").cast("int").alias("coreness"))
 

@@ -533,3 +533,37 @@ def hits_engine(
         if s > 0:
             hub /= s
     return auth, hub, eng
+
+
+def coreness_engine(
+    simple_sym_graph: ChunkedGraph,
+    max_iters: int = 10**6,
+) -> tuple[np.ndarray, VertexEngine]:
+    """Full core decomposition on the chunked engine — the DataFrame
+    kernel's twin (functions/graph_algos.coreness): h-index fixpoint
+    c(v) ← H({c(u)}) from c = degree, on the SIMPLE symmetrized graph
+    (k_core_engine's input contract).
+
+    Uses the ``hindex`` combiner (engine.py::_hindex_per_dst — counting
+    h-index, no per-vertex value sort) under the ``affected_only``
+    discipline shared with the mode combiner: once the changed set is
+    sparse by the /20 rule, only dsts with a changed in-neighbor are
+    recomputed — over ALL their in-edges, so results equal a full sweep
+    exactly; the dense early rounds are whole-graph sweeps. Frontier =
+    the vertices whose value dropped last round, so tail rounds touch
+    only the still-moving subgraph. Returns (coreness int64, engine)."""
+    eng = VertexEngine(simple_sym_graph)
+    n = simple_sym_graph.n_vertices
+    c = simple_sym_graph.out_degree.astype(np.int64).copy()
+    changed = c > 0
+    i = 0
+    while changed.any() and i < max_iters:
+        ids, vals = eng.edge_aggregate(
+            c, "hindex", frontier=changed, affected_only=True, iteration=i
+        )
+        drop = vals < c[ids]
+        changed = np.zeros(n, dtype=bool)
+        changed[ids[drop]] = True
+        c[ids[drop]] = vals[drop]
+        i += 1
+    return c, eng

@@ -95,6 +95,43 @@ def _mode_per_dst(dl: np.ndarray, labs: np.ndarray):
     return gd2[first].astype(np.int64), gl2[first].astype(np.int64)
 
 
+def _hindex_per_dst(dl: np.ndarray, vals: np.ndarray):
+    """h-index per local dst — the largest h with ≥ h incoming values
+    ≥ h — via the counting trick, no per-vertex sort of values: clip
+    each value at the dst's in-degree, histogram per dst over [0..deg]
+    (flat bincount), per-dst suffix counts from one global cumsum, then
+    h = max position p with suffix(p) ≥ p (one maximum.reduceat). All
+    O(edges + Σ(deg+1)) vectorized numpy. Returns (local_ids, h)."""
+    if len(dl) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    order = np.argsort(dl, kind="stable")
+    d_s = np.asarray(dl)[order]
+    v_s = np.asarray(vals)[order].astype(np.int64)
+    first = np.ones(len(d_s), dtype=bool)
+    first[1:] = d_s[1:] != d_s[:-1]
+    starts = np.flatnonzero(first)
+    deg = np.diff(np.append(starts, len(d_s)))
+    degrep = np.repeat(deg, deg)
+    t = np.minimum(np.maximum(v_s, 0), degrep)
+    offs = np.concatenate([[0], np.cumsum(deg + 1)[:-1]])
+    hist = np.bincount(
+        np.repeat(offs, deg) + t, minlength=int((deg + 1).sum())
+    )
+    csum = np.cumsum(hist)
+    bounds = np.cumsum(deg + 1)
+    seg_end = csum[bounds - 1]
+    seg_prev = np.concatenate([[0], seg_end[:-1]])
+    total_i = seg_end - seg_prev
+    L = int(bounds[-1])
+    pos = np.arange(L, dtype=np.int64) - np.repeat(offs, deg + 1)
+    csum_shift = np.concatenate([[0], csum[:-1]])
+    suffix = np.repeat(total_i, deg + 1) - (
+        csum_shift - np.repeat(seg_prev, deg + 1)
+    )
+    h = np.maximum.reduceat(np.where(suffix >= pos, pos, 0), offs)
+    return d_s[starts].astype(np.int64), h.astype(np.int64)
+
+
 def _load_state(transport: dict):
     """Worker-side: resolve (msg_vec, frontier, sparse, frontier_ids,
     dense_selective, frontier_vals).
@@ -241,6 +278,9 @@ def _make_task(
                 )
                 if combiner == "mode":
                     ids_l, vals = _mode_per_dst(dl, msg_of(np.asarray(srcs)))
+                    ids_b = (ids_l + begin).tobytes()
+                elif combiner == "hindex":
+                    ids_l, vals = _hindex_per_dst(dl, msg_of(np.asarray(srcs)))
                     ids_b = (ids_l + begin).tobytes()
                 elif combiner == "sum":
                     msgs = msg_of(np.asarray(srcs))
@@ -504,7 +544,8 @@ class VertexEngine:
         boolean dst mask applied only in dense/pull mode — the reference's
         visited-skip bitmap (core/graph.hpp:1665-1689, bfs.cpp:77).
 
-        ``affected_only`` (mode combiner): ``frontier`` marks the vertices
+        ``affected_only`` (all-in-neighbor combiners: mode, hindex):
+        ``frontier`` marks the vertices
         whose value changed last superstep; when the frontier is sparse by
         the /20 rule, only dsts with ≥1 in-edge from the frontier are
         recomputed — over ALL their in-edges, so the returned modes are
@@ -523,8 +564,11 @@ class VertexEngine:
             sparse = force_mode == "sparse"
         affected_mode = False
         if affected_only:
-            if combiner != "mode":  # pragma: no cover
-                raise ValueError("affected_only applies to the mode combiner")
+            if combiner not in ("mode", "hindex"):  # pragma: no cover
+                raise ValueError(
+                    "affected_only applies to all-in-neighbor combiners "
+                    "(mode, hindex)"
+                )
             affected_mode = (
                 sparse and frontier is not None and not frontier.all()
             )

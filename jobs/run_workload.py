@@ -35,7 +35,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", required=True,
                     choices=["pagerank", "ppr", "cc", "lp", "sssp", "bfs",
-                             "bc", "tc", "kcore", "hits"])
+                             "bc", "tc", "kcore", "coreness", "hits"])
     ap.add_argument("--pages", help="pages table path (url, warc_ts, html, ...)")
     ap.add_argument("--edges", help="pre-encoded edge parquet (src, dst[, w])")
     ap.add_argument("--out", required=True)
@@ -155,8 +155,8 @@ def main() -> int:
 
     sym_needed = args.workload in ("cc", "lp")
     e = symmetrize_df(edges) if sym_needed else edges
-    if args.workload == "kcore":
-        # the k-core object is the SIMPLE undirected graph: distinct
+    if args.workload in ("kcore", "coreness"):
+        # the k-core / coreness object is the SIMPLE undirected graph: distinct
         # pairs shipped both directions, self-loops dropped
         und = (
             edges.where(F.col("src") != F.col("dst"))
@@ -186,7 +186,7 @@ def main() -> int:
     # corrupts pagerank/bfs; an unweighted one crashes sssp)
     derivation = (
         "simple_sym"
-        if args.workload == "kcore"
+        if args.workload in ("kcore", "coreness")
         else ("symmetrized" if sym_needed else ("weighted" if weighted else "directed"))
     )
     if args.graph_table and os.path.exists(
@@ -199,8 +199,8 @@ def main() -> int:
             g.save(args.graph_table, derivation=derivation)
 
     start, start_iter = None, 0
-    if args.resume and args.workload in ("kcore", "hits"):
-        # kcore converges in few O(|E|)-total rounds and hits half-steps
+    if args.resume and args.workload in ("kcore", "coreness", "hits"):
+        # kcore/coreness converge in few total-bounded rounds and hits half-steps
         # are cheap relative to snapshot IO; neither keeps snapshot state
         raise SystemExit(f"--resume is not supported for {args.workload}")
     if args.resume and store is not None and args.workload != "bc":
@@ -333,6 +333,9 @@ def main() -> int:
         alive, eng = A.k_core_engine(g, k=args.k)
         vals = alive.astype(np.int32)
         col = "in_core"
+    elif args.workload == "coreness":
+        vals, eng = A.coreness_engine(g)
+        col = "coreness"
     elif args.workload == "hits":
         gt = load_or_build_transpose()
         auth, hub, eng = A.hits_engine(g, gt, iters=args.iters)

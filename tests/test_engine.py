@@ -628,6 +628,29 @@ def test_k_core_engine_matches_reference_and_message_budget(spark, built):
         assert sum(m_.processed_edges for m_ in eng.metrics) <= simple.n_edges
 
 
+def test_coreness_engine_matches_reference_and_frontier_shrinks(spark, built):
+    from geminigraph_spark.operators.algorithms import coreness_engine
+
+    src, dst, w, n, g, sym, wg = built
+    m = src != dst
+    a, b = np.minimum(src[m], dst[m]), np.maximum(src[m], dst[m])
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    u = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    v = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(u, v)], "src long, dst long"
+    )
+    simple = ChunkedGraph.build(spark, df, n_chunks=5, n_vertices=n)
+    want = O.coreness_ref(src, dst, n)
+    got, eng = coreness_engine(simple)
+    assert np.array_equal(got, want)
+    # the h-index fixpoint's frontier restriction: active-vertex counts
+    # are non-increasing after the first full sweep and end small
+    act = [m_.active_vertices for m_ in eng.metrics]
+    assert act[-1] <= act[0]
+    eng.close()
+
+
 def test_hits_engine_matches_oracle(spark, built):
     from geminigraph_spark.operators.algorithms import hits_engine
 

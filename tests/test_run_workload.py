@@ -179,6 +179,13 @@ def test_cli_extension_workloads_match_library(spark, tmp_path):
     want = O.k_core_ref(src, dst, n, 5)
     assert np.array_equal(got["in_core"].values.astype(bool), want)
 
+    out = str(tmp_path / "coreness")
+    r = _run(["--workload", "coreness", "--edges", edges, "--out", out,
+              "--n-chunks", "4"])
+    got = pd.read_parquet(out).sort_values("id")
+    want = O.coreness_ref(src, dst, n)
+    assert np.array_equal(got["coreness"].values, want)
+
     out = str(tmp_path / "hits")
     r = _run(["--workload", "hits", "--edges", edges, "--out", out,
               "--iters", "4", "--n-chunks", "4"])
