@@ -39,6 +39,7 @@ from geminigraph_spark.functions.graph_algos import (
     k_core,
     label_propagation,
     maximal_independent_set,
+    neighborhood_function,
     pagerank,
     personalized_pagerank,
     random_walks,
@@ -206,6 +207,14 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled neighborhood function (HyperANF's exact-sample baseline)
+    from the mod-7 seeds over the sparse events subgraph — the curve
+    whose 0.9-crossing is the sampled effective diameter."""
+    e = sparse_events_edges(spark, sf_dir)
+    return neighborhood_function(e, _sparse_seeds(spark, sf_dir))
+
+
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic-Luby maximal independent set over the sparse events
     subgraph (fixed hash priorities — exactly reproducible, see
@@ -329,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "random_walks": q_random_walks,
         "mis": q_mis,
+        "neighborhood_function": q_neighborhood,
         "scc": q_scc,
         "local_clustering": q_lcc,
         # host-level link-graph rollup + a kernel composed over it
@@ -415,6 +425,9 @@ def oracle_sql() -> dict[str, str]:
             length=8, walks_per_seed=2, seed_mod=7
         ),
         "mis": S.mis_sql(rounds=12),
+        "neighborhood_function": S.neighborhood_function_sql(
+            rounds=16, seed_mod=7
+        ),
         "scc": S.scc_sql(),
         "local_clustering": S.local_clustering_sql(),
         "host_graph": S.host_graph_sql(),

@@ -1638,3 +1638,38 @@ def maximal_independent_set(
     return verts.join(flag, "id", "left").select(
         "id", F.coalesce(F.col("in_mis"), F.lit(0)).cast("int").alias("in_mis")
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    seeds: DataFrame,
+    undirected: bool = True,
+    max_iters: int = 200,
+    checkpoint: Checkpointer = _default_ckpt,
+) -> DataFrame:
+    """Sampled neighborhood function N(h) = #(seed, vertex) pairs within
+    hop distance h, from the ``multi_source_bfs`` reached-pair table —
+    the exact-sample baseline of HyperANF (Boldi-Rosa-Vigna; exact when
+    seeds = V, |S|-sampled estimator otherwise). Returns one row per
+    occupied depth: (h long, n_pairs long, frac_ppm long) with frac =
+    N(h)/N(∞) ppm-rounded — the curve whose 0.9-crossing is the
+    standard "effective diameter (sampled)" readout.
+
+    Scale shape: one count-by-depth aggregation over the reached-pair
+    table plus a cumulative window over ≤ diameter rows (a
+    single-partition window over a handful of rows — the per-depth
+    counts, not the pairs). The BFS dominates."""
+    ms = multi_source_bfs(edges, seeds, undirected, max_iters, checkpoint)
+    per = ms.groupBy("depth").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.col("depth").alias("h"), F.sum("c").over(w).alias("n_pairs")
+    )
+    total = ms.count()
+    return cum.select(
+        "h",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.col("n_pairs") * 1000000.0 / F.lit(float(total)))
+        .cast("long")
+        .alias("frac_ppm"),
+    )

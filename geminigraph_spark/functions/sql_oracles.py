@@ -547,6 +547,25 @@ FROM b{rounds} GROUP BY s"""
     )
 
 
+def neighborhood_function_sql(rounds: int = 16, seed_mod: int = 7) -> str:
+    """Sampled neighborhood function over the sparse events subgraph:
+    per-depth pair counts from the unrolled multi-source BFS, cumulated;
+    frac ppm-rounded against the total reached-pair count. Convergence-
+    guarded like the other MS-BFS consumers."""
+    return (
+        _ms_bfs_cte(rounds, seed_mod)
+        + f""",
+per AS MATERIALIZED (SELECT d, COUNT(*) AS c FROM b{rounds} GROUP BY d)
+SELECT d AS h,
+       CAST(SUM(c) OVER (ORDER BY d) AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN {_ms_bfs_guard(rounds, 'neighborhood_function')}
+                 THEN error('neighborhood_function oracle unconverged after {rounds} rounds; raise rounds')
+                 ELSE ROUND(SUM(c) OVER (ORDER BY d) * 1000000.0
+                            / (SELECT COUNT(*) FROM b{rounds})) END AS BIGINT) AS frac_ppm
+FROM per"""
+    )
+
+
 def random_walks_sql(
     length: int = 8, walks_per_seed: int = 2, seed_mod: int = 7
 ) -> str:

@@ -16,6 +16,7 @@ from geminigraph_spark.functions.graph_algos import (
     k_core,
     maximal_independent_set,
     multi_source_bfs,
+    neighborhood_function,
     random_walks,
     pagerank,
     personalized_pagerank,
@@ -463,6 +464,22 @@ def test_random_walks_match_reference_exactly(spark, g):
     for steps in by_walk.values():
         for t in range(1, max(steps) + 1):
             assert (steps[t - 1], steps[t]) in pairs
+
+
+def test_neighborhood_function_matches_ms_bfs_counts(spark, g):
+    src, dst, n, df = g
+    seed_ids = np.array([0, 7, 31, 99])
+    seeds = spark.createDataFrame([(int(s),) for s in seed_ids], "id long")
+    depths = O.ms_bfs_ref(src, dst, n, seed_ids)
+    alld = np.concatenate([d[d >= 0] for d in depths.values()])
+    total = len(alld)
+    got = neighborhood_function(df, seeds).toPandas().sort_values("h")
+    want_cum = 0
+    for _, row in got.iterrows():
+        want_cum += int((alld == row["h"]).sum())
+        assert int(row["n_pairs"]) == want_cum
+        assert int(row["frac_ppm"]) == round(want_cum * 1000000.0 / total)
+    assert want_cum == total  # curve ends at N(inf)
 
 
 def test_mis_matches_greedy_reference_and_invariants(spark, g):

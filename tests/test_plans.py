@@ -124,3 +124,41 @@ def test_host_graph_plan_is_jvm_pruned_single_shuffle(spark):
         assert "ts:" not in ln, ln
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, plan  # expand-stage partial agg + final agg
+
+
+def test_round6_kernels_stay_jvm_side(spark):
+    """The round-6 extension kernels are pure DataFrame compositions —
+    no Python-UDF (EvalPython) node may appear anywhere in their plans,
+    and the scans they drive must stay pruned to (user_id, event_id)."""
+    from pyspark.sql import functions as F
+
+    from geminigraph_spark.functions.edges import sparse_events_edges
+    from geminigraph_spark.functions.graph_algos import (
+        coreness,
+        maximal_independent_set,
+        multi_source_bfs,
+        random_walks,
+    )
+
+    e = sparse_events_edges(spark, SF)
+    seeds = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .where(F.col("id") % 7 == 0)
+    )
+    plans = {
+        "coreness": _formatted(coreness(e, max_iters=2)),
+        "mis": _formatted(maximal_independent_set(e, max_iters=2)),
+        "ms_bfs": _formatted(multi_source_bfs(e, seeds, max_iters=2)),
+        "walks": _formatted(random_walks(e, seeds, length=2)),
+    }
+    for name, plan in plans.items():
+        assert "EvalPython" not in plan, (name, plan)
+    scan_lines = [
+        ln
+        for ln in plans["coreness"].splitlines()
+        if "ReadSchema" in ln
+    ]
+    for ln in scan_lines:
+        assert "payload" not in ln, ln
