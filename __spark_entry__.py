@@ -30,6 +30,7 @@ from geminigraph_spark.functions.edges import (
 from geminigraph_spark.functions.graph_algos import (
     bc_dataframe,
     bfs_depths,
+    cocitation_topk,
     connected_components,
     coreness,
     degrees,
@@ -215,6 +216,12 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(e, _sparse_seeds(spark, sf_dir))
 
 
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-pages by co-citation (common in-link sources) over the
+    sparse events subgraph, top-5 per vertex."""
+    return cocitation_topk(sparse_events_edges(spark, sf_dir), k=5)
+
+
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic-Luby maximal independent set over the sparse events
     subgraph (fixed hash priorities — exactly reproducible, see
@@ -339,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "mis": q_mis,
         "neighborhood_function": q_neighborhood,
+        "cocitation": q_cocitation,
         "scc": q_scc,
         "local_clustering": q_lcc,
         # host-level link-graph rollup + a kernel composed over it
@@ -428,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "neighborhood_function": S.neighborhood_function_sql(
             rounds=16, seed_mod=7
         ),
+        "cocitation": S.cocitation_sql(k=5),
         "scc": S.scc_sql(),
         "local_clustering": S.local_clustering_sql(),
         "host_graph": S.host_graph_sql(),

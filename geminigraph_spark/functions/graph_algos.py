@@ -1673,3 +1673,62 @@ def neighborhood_function(
         .cast("long")
         .alias("frac_ppm"),
     )
+
+
+def cocitation_topk(
+    edges: DataFrame,
+    k: int = 5,
+    hub_cap: int | None = None,
+) -> DataFrame:
+    """Co-citation similarity ("related pages"): two vertices are similar
+    when many common SOURCES link to both (Small '73 co-citation; the
+    classic related-page signal on a web graph). For every vertex with at
+    least one co-cited partner, the top-``k`` partners by common-source
+    count, ties broken by smaller neighbor id. Returns
+    (id long, neighbor long, common long, rnk int).
+
+    ``hub_cap``: drop source vertices whose out-degree exceeds the cap
+    before pairing (None = keep all — the gate setting). A directory hub
+    linking m pages contributes m² co-citation pairs; on a real crawl the
+    cap (or a TF-IDF-style down-weighting) is what keeps the wedge join
+    bounded — the same super-hub discipline as the triangle kernel's
+    orientation, here made an explicit knob because co-citation has no
+    orientation trick: the hub's wedges are the signal being counted.
+
+    Scale shape: one self-join of the deduplicated edge list keyed on
+    src (the wedge join — output Σ_src d_out(src)², the quantity
+    hub_cap bounds), one pair-count aggregation, one per-vertex top-k
+    window. All shuffles keyed on src / the pair / the vertex."""
+    de = edges.select("src", "dst").distinct()
+    if hub_cap is not None:
+        ok = (
+            de.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("outd"))
+            .where(F.col("outd") <= hub_cap)
+            .select("src")
+        )
+        de = de.join(ok, "src")
+    a = de.select("src", F.col("dst").alias("u"))
+    b = de.select("src", F.col("dst").alias("v"))
+    pairs = (
+        a.join(b, "src")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sym = pairs.select("u", "v", "common").unionByName(
+        pairs.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), "common"
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.col("common").desc(), F.col("v").asc())
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.col("u").alias("id"),
+            F.col("v").alias("neighbor"),
+            F.col("common").cast("long").alias("common"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

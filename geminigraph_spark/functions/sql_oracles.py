@@ -566,6 +566,29 @@ FROM per"""
     )
 
 
+def cocitation_sql(k: int = 5) -> str:
+    """Co-citation top-k over the sparse events subgraph: wedge self-join
+    on src over distinct directed pairs, symmetric pair counts, per-vertex
+    top-k by (common desc, neighbor asc) — the Spark kernel verbatim."""
+    return f"""WITH sedges AS MATERIALIZED ({SPARSE_EDGES_SQL}),
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM sedges),
+pairs AS MATERIALIZED (
+    SELECT a.dst AS u, b.dst AS v, CAST(COUNT(*) AS BIGINT) AS common
+    FROM de a JOIN de b ON a.src = b.src
+    WHERE a.dst < b.dst
+    GROUP BY a.dst, b.dst),
+sym AS MATERIALIZED (
+    SELECT u, v, common FROM pairs
+    UNION ALL
+    SELECT v AS u, u AS v, common FROM pairs),
+ranked AS MATERIALIZED (
+    SELECT u, v, common,
+           ROW_NUMBER() OVER (PARTITION BY u ORDER BY common DESC, v ASC) AS rnk
+    FROM sym)
+SELECT u AS id, v AS neighbor, common, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {k}"""
+
+
 def random_walks_sql(
     length: int = 8, walks_per_seed: int = 2, seed_mod: int = 7
 ) -> str:

@@ -482,6 +482,36 @@ def test_neighborhood_function_matches_ms_bfs_counts(spark, g):
     assert want_cum == total  # curve ends at N(inf)
 
 
+def test_cocitation_topk_matches_brute_force(spark, g):
+    from geminigraph_spark.functions.graph_algos import cocitation_topk
+
+    src, dst, n, df = g
+    # brute force: common in-link sources per unordered pair
+    de = sorted({(int(s), int(d)) for s, d in zip(src, dst)})
+    from collections import defaultdict
+
+    outs = defaultdict(set)
+    for s, d in de:
+        outs[s].add(d)
+    common: dict = defaultdict(int)
+    for s, ds in outs.items():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                common[(ds[i], ds[j])] += 1
+    want = defaultdict(list)
+    for (u, v), c in common.items():
+        want[u].append((-c, v))
+        want[v].append((-c, u))
+    got = cocitation_topk(df, k=3).toPandas()
+    for u, lst in want.items():
+        lst.sort()
+        top = [(v, -negc) for negc, v in lst[:3]]
+        sub = got[got["id"] == u].sort_values("rnk")
+        assert list(zip(sub["neighbor"], sub["common"])) == top, u
+    assert set(got["id"]) == set(want)
+
+
 def test_mis_matches_greedy_reference_and_invariants(spark, g):
     src, dst, n, df = g
     want = O.mis_ref(src, dst, n)
