@@ -38,6 +38,7 @@ from geminigraph_spark.functions.graph_algos import (
     harmonic_centrality,
     hits,
     k_core,
+    k_truss,
     label_propagation,
     maximal_independent_set,
     neighborhood_function,
@@ -216,6 +217,14 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(e, _sparse_seeds(spark, sf_dir))
 
 
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss over the mod-7 events subgraph (ODD modulus — even moduli
+    are parity-bipartite and triangle-free, see edges.
+    events_edges_mod_sql): a real 15-round peel to a 427-edge truss at
+    sf0.01."""
+    return k_truss(sparse_events_edges(spark, sf_dir, mod=7), k=4)
+
+
 def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Related-pages by co-citation (common in-link sources) over the
     sparse events subgraph, top-5 per vertex."""
@@ -347,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": q_mis,
         "neighborhood_function": q_neighborhood,
         "cocitation": q_cocitation,
+        "k_truss": q_k_truss,
         "scc": q_scc,
         "local_clustering": q_lcc,
         # host-level link-graph rollup + a kernel composed over it
@@ -437,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
             rounds=16, seed_mod=7
         ),
         "cocitation": S.cocitation_sql(k=5),
+        "k_truss": S.k_truss_sql(k=4, rounds=20, mod=7),
         "scc": S.scc_sql(),
         "local_clustering": S.local_clustering_sql(),
         "host_graph": S.host_graph_sql(),

@@ -123,12 +123,21 @@ def host_graph(spark: SparkSession, sf_dir: str, div: int = HOST_DIV) -> DataFra
 #: k=3 peeling cascades 14 rounds to a 38-vertex core — a real fixpoint.
 SPARSE_MOD = 40
 
-SPARSE_EDGES_SQL = f"""
+def events_edges_mod_sql(mod: int) -> str:
+    """DuckDB twin of ``sparse_events_edges(spark, sf_dir, mod)`` for an
+    arbitrary modulus. NOTE: even moduli keep only even event_ids, and
+    17·even is even, so dst ≡ src+1 (mod 2) — the subgraph is BIPARTITE
+    by vertex parity and triangle-free; triangle-dependent gates
+    (k-truss) must use an ODD modulus."""
+    return f"""
     SELECT CAST(user_id AS BIGINT) AS src,
            CAST((user_id*31 + event_id*17 + 7)
                 % (SELECT MAX(user_id)+1 FROM events) AS BIGINT) AS dst
-    FROM events WHERE event_id % {SPARSE_MOD} = 0
+    FROM events WHERE event_id % {mod} = 0
 """
+
+
+SPARSE_EDGES_SQL = events_edges_mod_sql(SPARSE_MOD)
 
 
 def sparse_events_edges(

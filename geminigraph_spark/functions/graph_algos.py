@@ -1732,3 +1732,100 @@ def cocitation_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    max_iters: int = 1000,
+    spill_dir: str | None = None,
+) -> DataFrame:
+    """k-truss of the SIMPLE undirected graph: the maximal subgraph in
+    which every edge lies in at least k-2 triangles (Cohen '08) —
+    edge-level cohesion, the community-core complement of ``k_core``'s
+    vertex-level peel. Synchronous peeling: per round count each live
+    edge's support (triangles among live edges) and drop edges below
+    k-2, to fixpoint. Returns the surviving edge set as
+    (a long, b long) with a < b.
+
+    State discipline — WHY THIS KERNEL SPILLS TO PARQUET instead of the
+    localCheckpoint lineage truncation every other kernel here uses:
+    each round's plan references the live edge set ~6 times (adjacency
+    both directions, wedge, closure, the left join), and under that
+    fan-out the per-round Catalyst cost CREEPS even with an eager
+    localCheckpoint every round — measured on the sf0.01 gate graph,
+    optimize+exec per round was flat until round ~10 and then grew
+    ~4-5× per round (0.6 s → 2.4 → 9.6 → 38: driver-side planning over
+    state the checkpoint preserves, not data — data was 430 rows in 1
+    partition). Writing the live set to parquet and re-reading gives a
+    guaranteed-fresh plan root and flat 0.5 s rounds (full 15-round
+    peel: 11 s). At crawl scale the spill is the size of the SHRINKING
+    live edge set once per round — the standard discipline for
+    iterative edge-peeling, and it doubles as a free per-round resume
+    point.
+
+    Scale shape: support counting is one two-hop wedge join per round
+    (live pairs ⋈ live adjacency on one endpoint, closed on the other —
+    the same join class as A7's triangle count), and the live edge set
+    shrinks monotonically, so rounds get cheaper as the peel deepens;
+    rounds are bounded by the peeling depth. Early exit compares
+    live-edge counts."""
+    import os
+    import shutil
+    import tempfile
+
+    if k < 2:
+        raise ValueError("k_truss requires k >= 2")
+    spark = edges.sparkSession
+    tmp = spill_dir or tempfile.mkdtemp(prefix="gemini_truss_")
+    own_tmp = spill_dir is None
+
+    def spill(df: DataFrame, i: int) -> DataFrame:
+        p = os.path.join(tmp, f"live_{i}")
+        df.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    try:
+        live = spill(und, -1)
+        n_live = live.count()
+        need = k - 2
+        for i in range(max_iters):
+            if n_live == 0:
+                break
+            adj = live.select(
+                F.col("a").alias("x"), F.col("b").alias("y")
+            ).unionByName(live.select(F.col("b").alias("x"), F.col("a").alias("y")))
+            wed = live.join(
+                adj.select(F.col("x").alias("a"), F.col("y").alias("w")), "a"
+            ).where(F.col("w") != F.col("b"))
+            closed = wed.join(
+                adj.select(F.col("x").alias("b"), F.col("y").alias("w")),
+                ["b", "w"],
+            )
+            sup = closed.groupBy("a", "b").agg(F.count(F.lit(1)).alias("s"))
+            nxt = (
+                live.join(sup, ["a", "b"], "left")
+                .where(F.coalesce(F.col("s"), F.lit(0)) >= need)
+                .select("a", "b")
+            )
+            live = spill(nxt, i)
+            m = live.count()
+            if m == n_live:
+                break
+            n_live = m
+        out = live.select(
+            F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+        )
+        # materialize before the spill dir disappears
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if own_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)

@@ -445,3 +445,29 @@ def mis_ref(src: np.ndarray, dst: np.ndarray, n: int) -> np.ndarray:
         for u in nbrs.get(v, ()):
             blocked[u] = True
     return in_mis
+
+
+def k_truss_ref(
+    src: np.ndarray, dst: np.ndarray, k: int
+) -> set[tuple[int, int]]:
+    """k-truss reference: synchronous peeling of simple undirected edges
+    whose support (triangles among survivors) is < k-2, to fixpoint.
+    Returns the surviving (a, b) pairs with a < b."""
+    m = src != dst
+    a = np.minimum(src[m], dst[m])
+    b = np.maximum(src[m], dst[m])
+    live = {(int(x), int(y)) for x, y in zip(a, b)}
+    need = k - 2
+    while True:
+        nbrs: dict[int, set] = {}
+        for x, y in live:
+            nbrs.setdefault(x, set()).add(y)
+            nbrs.setdefault(y, set()).add(x)
+        drop = {
+            (x, y)
+            for x, y in live
+            if len(nbrs[x] & nbrs[y]) < need
+        }
+        if not drop:
+            return live
+        live -= drop

@@ -14,6 +14,7 @@ from geminigraph_spark.functions.graph_algos import (
     harmonic_centrality,
     label_propagation,
     k_core,
+    k_truss,
     maximal_independent_set,
     multi_source_bfs,
     neighborhood_function,
@@ -480,6 +481,24 @@ def test_neighborhood_function_matches_ms_bfs_counts(spark, g):
         assert int(row["n_pairs"]) == want_cum
         assert int(row["frac_ppm"]) == round(want_cum * 1000000.0 / total)
     assert want_cum == total  # curve ends at N(inf)
+
+
+def test_k_truss_matches_reference_peeling(spark, g):
+    src, dst, n, df = g
+    for k in (3, 4):
+        want = O.k_truss_ref(src, dst, k)
+        got = {
+            (int(r.a), int(r.b))
+            for r in k_truss(df, k=k).toPandas().itertuples()
+        }
+        assert got == want, f"k={k}"
+    # every surviving edge really has >= k-2 common neighbors in the truss
+    want = O.k_truss_ref(src, dst, 4)
+    nbrs: dict = {}
+    for x, y in want:
+        nbrs.setdefault(x, set()).add(y)
+        nbrs.setdefault(y, set()).add(x)
+    assert all(len(nbrs[x] & nbrs[y]) >= 2 for x, y in want)
 
 
 def test_cocitation_topk_matches_brute_force(spark, g):
