@@ -1548,7 +1548,7 @@ MIS_PMOD = 999983
 def maximal_independent_set(
     edges: DataFrame,
     max_iters: int = 100,
-    checkpoint: Checkpointer = _default_ckpt,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """Maximal independent set on the SIMPLE undirected graph (distinct
     pairs, self-loops dropped — isolated / self-loop-only vertices are
@@ -1564,9 +1564,27 @@ def maximal_independent_set(
     Scale shape: like ``k_core``, the live adjacency SHRINKS
     monotonically — each round is one join (ship priorities), one
     local-minimum anti-join, one neighbor semi-join to retire losers;
-    all shuffles are over the CURRENT live edges. No driver state; the
-    round's live-count aggregate doubles as the early exit and the
-    lazy-localCheckpoint materializer."""
+    all shuffles are over the CURRENT live edges. State discipline:
+    per-round parquet spill of (live, mis) — this kernel's plan
+    references the live set ~6 times per round, the same fan-out that
+    made ``k_truss``'s per-round Catalyst cost creep 4-5×/round past
+    round 10 under localCheckpoint (measured; see k_truss docstring),
+    and Luby at crawl scale runs ~25-30 rounds — squarely inside the
+    creep regime. The spill is the size of the shrinking live set and
+    doubles as a free per-round resume point."""
+    import os
+    import shutil
+    import tempfile
+
+    spark = edges.sparkSession
+    tmp = spill_dir or tempfile.mkdtemp(prefix="gemini_mis_")
+    own_tmp = spill_dir is None
+
+    def spill(df: DataFrame, name: str) -> DataFrame:
+        p = os.path.join(tmp, name)
+        df.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
     und = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
@@ -1582,63 +1600,69 @@ def maximal_independent_set(
     def pri(c):
         return ((c % MIS_VMOD) * MIS_VMUL + MIS_ADD) % MIS_PMOD
 
-    ck = _IntervalCkpt(checkpoint, 10**9, lazy_chain=False)
-    live = ck.step(-1, adj)
-    n_live = live.count()
-    ck.materialized()
-    mis = verts.select("id").where(F.lit(False))
-    # vertices with no simple edge at all are independent by vacuity
-    mis = mis.unionByName(
-        verts.join(adj.select(F.col("v").alias("id")).distinct(), "id", "left_anti")
-        .select("id")
-    )
-    i = 0
-    while n_live > 0 and i < max_iters:
-        # a live vertex wins iff NO live neighbor has a smaller
-        # (priority, id) key — expressed as an anti-join against the
-        # "has a better neighbor" set (identical shape in the SQL twin)
-        better = (
-            live.where(
-                (pri(F.col("u")) < pri(F.col("v")))
-                | (
-                    (pri(F.col("u")) == pri(F.col("v")))
-                    & (F.col("u") < F.col("v"))
-                )
-            )
-            .select("v")
-            .distinct()
-        )
-        lverts = live.select("v").distinct()
-        winners = lverts.join(better, "v", "left_anti")
-        mis = mis.unionByName(winners.select(F.col("v").alias("id")))
-        retired = winners.unionByName(
-            live.join(winners.withColumnRenamed("v", "w"), F.col("v") == F.col("w"))
-            .select(F.col("u").alias("v"))
-        ).distinct()
-        nxt = (
-            live.join(retired, "v", "left_anti")
-            .join(retired.withColumnRenamed("v", "u"), "u", "left_anti")
-        )
-        live = ck.step(2 * i, nxt)
+    try:
+        adj = spill(adj, "adj")
+        live = spill(adj, "live_-1")
         n_live = live.count()
-        ck.materialized()
-        # vertices that lost all live neighbors without being retired
-        # re-enter as isolated next round and win by vacuity
-        still = live.select("v").distinct()
-        orphans = (
-            lverts.join(retired, "v", "left_anti")
-            .join(still, "v", "left_anti")
+        # vertices with no simple edge at all are independent by vacuity
+        mis = verts.join(
+            adj.select(F.col("v").alias("id")).distinct(), "id", "left_anti"
+        ).select("id")
+        mis = spill(mis, "mis_-1")
+        i = 0
+        while n_live > 0 and i < max_iters:
+            # a live vertex wins iff NO live neighbor has a smaller
+            # (priority, id) key — expressed as an anti-join against the
+            # "has a better neighbor" set (identical shape in the SQL twin)
+            better = (
+                live.where(
+                    (pri(F.col("u")) < pri(F.col("v")))
+                    | (
+                        (pri(F.col("u")) == pri(F.col("v")))
+                        & (F.col("u") < F.col("v"))
+                    )
+                )
+                .select("v")
+                .distinct()
+            )
+            lverts = live.select("v").distinct()
+            winners = lverts.join(better, "v", "left_anti")
+            mis_add = winners.select(F.col("v").alias("id"))
+            retired = winners.unionByName(
+                live.join(
+                    winners.withColumnRenamed("v", "w"), F.col("v") == F.col("w")
+                ).select(F.col("u").alias("v"))
+            ).distinct()
+            nxt = (
+                live.join(retired, "v", "left_anti")
+                .join(retired.withColumnRenamed("v", "u"), "u", "left_anti")
+            )
+            nxt = spill(nxt, f"live_{i}")
+            n_live = nxt.count()
+            # vertices that lost all live neighbors without being retired
+            # re-enter as isolated next round and win by vacuity
+            still = nxt.select("v").distinct()
+            orphans = (
+                lverts.join(retired, "v", "left_anti")
+                .join(still, "v", "left_anti")
+            )
+            mis = spill(
+                mis.unionByName(mis_add).unionByName(
+                    orphans.select(F.col("v").alias("id"))
+                ),
+                f"mis_{i}",
+            )
+            live = nxt
+            i += 1
+        flag = mis.distinct().withColumn("in_mis", F.lit(1))
+        out = verts.join(flag, "id", "left").select(
+            "id", F.coalesce(F.col("in_mis"), F.lit(0)).cast("int").alias("in_mis")
         )
-        mis = mis.unionByName(orphans.select(F.col("v").alias("id")))
-        mis = ck.step(2 * i + 1, mis)
-        mis.count()
-        ck.materialized()
-        i += 1
-    flag = mis.distinct().withColumn("in_mis", F.lit(1))
-    return verts.join(flag, "id", "left").select(
-        "id", F.coalesce(F.col("in_mis"), F.lit(0)).cast("int").alias("in_mis")
-    )
-
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if own_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 def neighborhood_function(
     edges: DataFrame,
