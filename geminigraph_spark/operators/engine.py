@@ -7,23 +7,38 @@ Re-expresses the reference's two dataflow primitives (core/graph.hpp:
 - ``process_vertices`` — state is driver-resident numpy, so the filtered
   map + sum-reduce is a vectorized driver computation (the reference's
   work-stealing + MPI_Allreduce collapse into numpy reductions).
-- ``edge_aggregate`` — one Spark stage over the cached chunk-metadata
-  DataFrame: the per-superstep state reaches workers either as a
-  page-cache-shared state file (local master: zero pickling, the
-  analogue of Gemini's per-node state replicas) or a torrent broadcast
-  (cluster master). Sparse/push supersteps ship ONLY the frontier rows
-  (ids + values, O(|frontier|) bytes) on both transports — the long
-  fixpoint tail costs frontier-sized transport, not |V|. Dense/pull
-  supersteps: the local transport shares the full vector through the
-  page cache (zero-copy); the cluster transport ships each chunk only
-  ``msg_vec[chunk_srcs]`` — per-chunk O(srcs-per-chunk), Σ ≤ |E| values
-  total, joined onto the chunk-metadata rows — instead of replicating
-  |V| per chunk (the chunk's src set is persisted at pack time, so the
-  slice is exact). Each chunk task aggregates into its local dst range
-  with numpy ufuncs and returns ONE row per chunk with packed binary
-  (ids, vals) arrays — Arrow ships a handful of big cells instead of
-  millions of rows. Because chunks are dst-sharded, per-dst aggregation
-  is final within a task: there is no shuffle in the iteration loop.
+- ``edge_aggregate`` — one Spark job (a single RDD stage, no shuffle)
+  over the chunk-metadata rows: the per-superstep state reaches workers
+  either as a page-cache-shared state file (local master: zero pickling,
+  the analogue of Gemini's per-node state replicas) or a torrent
+  broadcast (cluster master). Sparse/push supersteps ship ONLY the
+  frontier rows (ids + values, O(|frontier|) bytes) on both transports —
+  the long fixpoint tail costs frontier-sized transport, not |V|.
+  Dense/pull supersteps: the local transport shares the full vector
+  through the page cache (zero-copy); the cluster transport ships each
+  chunk only ``msg_vec[chunk_srcs]`` — per-chunk O(srcs-per-chunk),
+  Σ ≤ |E| values total, carried on the chunk's own task item — instead
+  of replicating |V| per chunk (the chunk's src set is persisted at pack
+  time, so the slice is exact). Each task aggregates its chunks into
+  their local dst ranges with numpy ufuncs and returns one packed binary
+  (ids, vals) tuple per chunk. Because chunks are dst-sharded, per-dst
+  aggregation is final within a task: there is no shuffle in the
+  iteration loop.
+
+  The superstep is submitted as a plain RDD job rather than a
+  DataFrame ``mapInPandas`` (optimization guide §1.2/§4: per-task work
+  and the Python boundary): the metadata rows are a handful of tuples,
+  so Catalyst analysis/optimization and the Arrow record-batch framing
+  added ~0.15 s of pure latency to EVERY superstep (measured r7:
+  noop-mapInPandas 360 ms vs noop-RDD 270 ms vs 145 ms bare JVM job on
+  this host) while providing nothing — the payload is already packed
+  binary. Task COUNT is scale-adaptive (guide §2.2 "fewer, larger
+  tasks"): chunks are grouped so each task carries ≥ _EDGES_PER_TASK
+  active edges (measured r7 on 30M edges: 8 tasks 216 ms vs 32 tasks
+  310 ms vs 1 task 499 ms per superstep), bounded below by a small
+  parallelism floor and above by n_chunks — derived from the work size,
+  not from the local core count, so the same rule sizes tasks on a
+  cluster.
 
 Mode rule is the reference's, verbatim: sparse (push) iff
 ``active_out_edges < |E| / 20`` (core/graph.hpp:1502-1508). Sparse mode
@@ -46,7 +61,6 @@ import time
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 
 from .chunked_graph import ChunkedGraph
 
@@ -63,7 +77,16 @@ SLICED_SHIP_MAX_BYTES = int(
     os.environ.get("SPARK_GRAFT_SLICED_MAX_BYTES", str(256 << 20))
 )
 
-_OUT_SCHEMA = "begin long, ids binary, vals binary, n_proc long"
+#: target ACTIVE edges per superstep task (guide §2.2): chunks are
+#: grouped into tasks of at least this much work, so a superstep over a
+#: small graph (or a sparse tail frontier) pays the per-task Python
+#: round-trip a handful of times, not n_chunks times. Derived from work,
+#: not core count — the env knob retunes it per deployment.
+_EDGES_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_EDGES_PER_TASK", str(4_000_000))
+)
+#: lower bound on superstep tasks (mmap/probe parallelism hedge)
+_MIN_TASKS = int(os.environ.get("SPARK_GRAFT_MIN_TASKS", "4"))
 
 
 def _multi_range_indices(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
@@ -161,170 +184,170 @@ def _load_state(transport: dict):
     return msg, fro, transport["sparse"], fids, dsel, fvals
 
 
-def _make_task(
-    combiner: str, val_dtype, msg_offset, transport: dict, affected_mode: bool = False
-):
-    """Per-chunk mapInPandas body. Output: one row per chunk with packed
-    binary (ids, vals); ids=None ⇒ contiguous range starting at begin.
+def _run_items(
+    items: list,
+    transport: dict,
+    combiner: str,
+    val_dtype,
+    msg_offset,
+    affected_mode: bool = False,
+) -> list:
+    """Worker-side superstep body for one task's chunk items. Each item is
+    ``(cid, begin, end, path, mslice, fslice, dslice)`` — the slice
+    payloads are None except on the sliced cluster transport ("rows"
+    kind), where per-chunk state slices travel ON the chunk's own item.
+    Returns one ``(begin, ids_bytes|None, vals_bytes, n_proc)`` tuple per
+    chunk that produced output; ids=None ⇒ contiguous range at begin.
 
-    ``affected_mode`` (mode combiner only): frontier_ids mark the vertices
-    whose label CHANGED last superstep; the task recomputes the mode only
-    at dsts with ≥1 in-edge from the frontier, but over ALL their in-edges
-    (a mode is not decomposable over a frontier subset, unlike sum/min) —
-    untouched dsts keep their label because their in-label multiset is
-    unchanged. This is the activation discipline CC got from cc.cpp:48-59,
-    applied to A6."""
+    ``affected_mode`` (all-in-neighbor combiners: mode, hindex):
+    frontier_ids mark the vertices whose value CHANGED last superstep;
+    the task recomputes only dsts with ≥1 in-edge from the frontier, but
+    over ALL their in-edges (a mode is not decomposable over a frontier
+    subset, unlike sum/min) — untouched dsts keep their value because
+    their in-multiset is unchanged. This is the activation discipline CC
+    got from cc.cpp:48-59, applied to A6/A15."""
     from .chunked_graph import load_chunk_arrays, load_chunk_usrcs
 
     rows_kind = transport["kind"] == "rows"
+    if rows_kind:
+        # nothing global to load: state slices arrive on the items
+        msg_vec = frontier = dense_sel = fvals = None
+        sparse = False
+        frontier_ids = (
+            np.frombuffer(transport["fids"], dtype=np.int64)
+            if transport.get("fids")
+            else None
+        )
+        msg_dtype = np.dtype(transport["msg_dtype"])
+    else:
+        msg_vec, frontier, sparse, frontier_ids, dense_sel, fvals = _load_state(
+            transport
+        )
 
-    def task(batches):
+    def msg_of_global(srcs):
+        # compact sparse shipment: every selected src is a frontier id
+        if fvals is not None:
+            return np.asarray(fvals)[np.searchsorted(frontier_ids, srcs)]
+        return msg_vec[srcs]
+
+    out = []
+    for _cid, begin, end, path, mslice, fslice, dslice in items:
+        begin, end = int(begin), int(end)
+        a = load_chunk_arrays(path, False)
+        srcs, dsts, w = a["srcs"], a["dsts"], a["weights"]
+        msg_of = msg_of_global
         if rows_kind:
-            # per-chunk state slices arrive ON the task's own row (joined
-            # into the chunk-metadata DataFrame) — nothing global to load
-            msg_vec = frontier = dense_sel = fvals = None
-            sparse = False
-            frontier_ids = (
-                np.frombuffer(transport["fids"], dtype=np.int64)
-                if transport.get("fids")
-                else None
+            usrcs = np.asarray(load_chunk_usrcs(path))
+            msl = np.frombuffer(mslice, dtype=msg_dtype)
+
+            def msg_of(ss, _u=usrcs, _m=msl):  # noqa: F811
+                return _m[np.searchsorted(_u, ss)]
+
+            if fslice is not None:
+                # dense partial frontier, sliced to this chunk's srcs
+                fsl = np.frombuffer(fslice, dtype=bool)
+                m = fsl[np.searchsorted(usrcs, np.asarray(srcs))]
+                srcs, dsts = np.asarray(srcs)[m], np.asarray(dsts)[m]
+                if w is not None:
+                    w = np.asarray(w)[m]
+            if dslice is not None:
+                dsl = np.frombuffer(dslice, dtype=bool)
+                m = dsl[np.asarray(dsts) - begin]
+                srcs, dsts = np.asarray(srcs)[m], np.asarray(dsts)[m]
+                if w is not None:
+                    w = np.asarray(w)[m]
+        if affected_mode and frontier_ids is not None:
+            # touched dsts from the frontier's src spans, then ALL
+            # in-edges of those dsts (src-unrestricted gather)
+            s = np.searchsorted(srcs, frontier_ids, side="left")
+            e = np.searchsorted(srcs, frontier_ids, side="right")
+            sel = _multi_range_indices(s, e)
+            if len(sel) == 0:
+                continue
+            size0 = end - begin
+            aff = np.zeros(size0, dtype=bool)
+            aff[np.asarray(dsts)[sel] - begin] = True
+            m = aff[np.asarray(dsts) - begin]
+            srcs, dsts = np.asarray(srcs)[m], np.asarray(dsts)[m]
+        elif sparse and frontier_ids is not None:
+            s = np.searchsorted(srcs, frontier_ids, side="left")
+            e = np.searchsorted(srcs, frontier_ids, side="right")
+            sel = _multi_range_indices(s, e)
+            srcs, dsts = np.asarray(srcs)[sel], np.asarray(dsts)[sel]
+            if w is not None:
+                w = np.asarray(w)[sel]
+        elif frontier is not None:
+            m = np.asarray(frontier)[np.asarray(srcs)]
+            srcs, dsts = np.asarray(srcs)[m], np.asarray(dsts)[m]
+            if w is not None:
+                w = np.asarray(w)[m]
+        if dense_sel is not None and not sparse:
+            # pull-skip at already-settled dsts — the reference's
+            # dense_selective bitmap (graph.hpp:1665-1689; bfs.cpp:77)
+            m = np.asarray(dense_sel)[np.asarray(dsts)]
+            srcs, dsts = np.asarray(srcs)[m], np.asarray(dsts)[m]
+            if w is not None:
+                w = np.asarray(w)[m]
+        if len(srcs) == 0:
+            continue
+        d = np.asarray(dsts)
+        dl = d - d.dtype.type(begin)
+        size = end - begin
+        ids_b = None
+        # any edge filtering ⇒ per-dst hit counts decide output ids
+        # (a rows-kind frontier/dsel slice restricts edges even
+        # though the global frontier objects are None task-side)
+        restricted = (
+            frontier is not None
+            or frontier_ids is not None
+            or (rows_kind and (fslice is not None or dslice is not None))
+        )
+        if combiner == "mode":
+            ids_l, vals = _mode_per_dst(dl, msg_of(np.asarray(srcs)))
+            ids_b = (ids_l + begin).tobytes()
+        elif combiner == "hindex":
+            ids_l, vals = _hindex_per_dst(dl, msg_of(np.asarray(srcs)))
+            ids_b = (ids_l + begin).tobytes()
+        elif combiner == "sum":
+            msgs = msg_of(np.asarray(srcs))
+            if msg_offset == "w":
+                msgs = msgs + w
+            elif msg_offset:
+                msgs = msgs + msg_offset
+            acc = np.bincount(dl, weights=msgs, minlength=size)
+            if not restricted:
+                vals = acc  # dense full-frontier: whole range
+            else:
+                cnt = np.bincount(dl, minlength=size)
+                ids_l = np.flatnonzero(cnt)
+                vals = acc[ids_l]
+                ids_b = (ids_l + begin).tobytes()
+        elif combiner == "min":
+            msgs = msg_of(np.asarray(srcs))
+            if msg_offset == "w":
+                msgs = msgs + w
+            elif msg_offset:
+                msgs = msgs + msg_offset
+            ident = (
+                np.inf if val_dtype == np.float64 else np.iinfo(val_dtype).max
             )
-            msg_dtype = np.dtype(transport["msg_dtype"])
-        else:
-            msg_vec, frontier, sparse, frontier_ids, dense_sel, fvals = _load_state(
-                transport
+            acc = np.full(size, ident, dtype=val_dtype)
+            np.minimum.at(acc, dl, msgs)
+            cnt = np.bincount(dl, minlength=size)
+            ids_l = np.flatnonzero(cnt)
+            vals = acc[ids_l]
+            ids_b = (ids_l + begin).tobytes()
+        else:  # pragma: no cover
+            raise ValueError(combiner)
+        out.append(
+            (
+                begin,
+                ids_b,
+                np.ascontiguousarray(vals, dtype=val_dtype).tobytes(),
+                len(srcs),
             )
-
-        def msg_of(srcs):
-            # compact sparse shipment: every selected src is a frontier id
-            if fvals is not None:
-                return np.asarray(fvals)[
-                    np.searchsorted(frontier_ids, srcs)
-                ]
-            return msg_vec[srcs]
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                begin, end = int(row.begin), int(row.end)
-                a = load_chunk_arrays(row.path, False)
-                srcs, dsts, w = a["srcs"], a["dsts"], a["weights"]
-                if rows_kind:
-                    usrcs = np.asarray(load_chunk_usrcs(row.path))
-                    mslice = np.frombuffer(row.mslice, dtype=msg_dtype)
-
-                    def msg_of(ss, _u=usrcs, _m=mslice):  # noqa: F811
-                        return _m[np.searchsorted(_u, ss)]
-
-                    if row.fslice is not None:
-                        # dense partial frontier, sliced to this chunk's srcs
-                        fsl = np.frombuffer(row.fslice, dtype=bool)
-                        m = fsl[np.searchsorted(usrcs, np.asarray(srcs))]
-                        srcs, dsts = np.asarray(srcs)[m], np.asarray(dsts)[m]
-                        if w is not None:
-                            w = np.asarray(w)[m]
-                    if row.dslice is not None:
-                        dsl = np.frombuffer(row.dslice, dtype=bool)
-                        m = dsl[np.asarray(dsts) - begin]
-                        srcs, dsts = np.asarray(srcs)[m], np.asarray(dsts)[m]
-                        if w is not None:
-                            w = np.asarray(w)[m]
-                if affected_mode and frontier_ids is not None:
-                    # touched dsts from the frontier's src spans, then ALL
-                    # in-edges of those dsts (src-unrestricted gather)
-                    s = np.searchsorted(srcs, frontier_ids, side="left")
-                    e = np.searchsorted(srcs, frontier_ids, side="right")
-                    sel = _multi_range_indices(s, e)
-                    if len(sel) == 0:
-                        continue
-                    size0 = end - begin
-                    aff = np.zeros(size0, dtype=bool)
-                    aff[np.asarray(dsts)[sel] - begin] = True
-                    m = aff[np.asarray(dsts) - begin]
-                    srcs, dsts = np.asarray(srcs)[m], np.asarray(dsts)[m]
-                elif sparse and frontier_ids is not None:
-                    s = np.searchsorted(srcs, frontier_ids, side="left")
-                    e = np.searchsorted(srcs, frontier_ids, side="right")
-                    sel = _multi_range_indices(s, e)
-                    srcs, dsts = np.asarray(srcs)[sel], np.asarray(dsts)[sel]
-                    if w is not None:
-                        w = np.asarray(w)[sel]
-                elif frontier is not None:
-                    m = np.asarray(frontier)[np.asarray(srcs)]
-                    srcs, dsts = np.asarray(srcs)[m], np.asarray(dsts)[m]
-                    if w is not None:
-                        w = np.asarray(w)[m]
-                if dense_sel is not None and not sparse:
-                    # pull-skip at already-settled dsts — the reference's
-                    # dense_selective bitmap (graph.hpp:1665-1689; bfs.cpp:77)
-                    m = np.asarray(dense_sel)[np.asarray(dsts)]
-                    srcs, dsts = np.asarray(srcs)[m], np.asarray(dsts)[m]
-                    if w is not None:
-                        w = np.asarray(w)[m]
-                if len(srcs) == 0:
-                    continue
-                d = np.asarray(dsts)
-                dl = d - d.dtype.type(begin)
-                size = end - begin
-                ids_b = None
-                # any edge filtering ⇒ per-dst hit counts decide output ids
-                # (a rows-kind frontier/dsel slice restricts edges even
-                # though the global frontier objects are None task-side)
-                restricted = (
-                    frontier is not None
-                    or frontier_ids is not None
-                    or (
-                        rows_kind
-                        and (row.fslice is not None or row.dslice is not None)
-                    )
-                )
-                if combiner == "mode":
-                    ids_l, vals = _mode_per_dst(dl, msg_of(np.asarray(srcs)))
-                    ids_b = (ids_l + begin).tobytes()
-                elif combiner == "hindex":
-                    ids_l, vals = _hindex_per_dst(dl, msg_of(np.asarray(srcs)))
-                    ids_b = (ids_l + begin).tobytes()
-                elif combiner == "sum":
-                    msgs = msg_of(np.asarray(srcs))
-                    if msg_offset == "w":
-                        msgs = msgs + w
-                    elif msg_offset:
-                        msgs = msgs + msg_offset
-                    acc = np.bincount(dl, weights=msgs, minlength=size)
-                    if not restricted:
-                        vals = acc  # dense full-frontier: whole range
-                    else:
-                        cnt = np.bincount(dl, minlength=size)
-                        ids_l = np.flatnonzero(cnt)
-                        vals = acc[ids_l]
-                        ids_b = (ids_l + begin).tobytes()
-                elif combiner == "min":
-                    msgs = msg_of(np.asarray(srcs))
-                    if msg_offset == "w":
-                        msgs = msgs + w
-                    elif msg_offset:
-                        msgs = msgs + msg_offset
-                    ident = (
-                        np.inf
-                        if val_dtype == np.float64
-                        else np.iinfo(val_dtype).max
-                    )
-                    acc = np.full(size, ident, dtype=val_dtype)
-                    np.minimum.at(acc, dl, msgs)
-                    cnt = np.bincount(dl, minlength=size)
-                    ids_l = np.flatnonzero(cnt)
-                    vals = acc[ids_l]
-                    ids_b = (ids_l + begin).tobytes()
-                else:  # pragma: no cover
-                    raise ValueError(combiner)
-                yield pd.DataFrame(
-                    {
-                        "begin": [begin],
-                        "ids": [ids_b],
-                        "vals": [np.ascontiguousarray(vals, dtype=val_dtype).tobytes()],
-                        "n_proc": [len(srcs)],
-                    }
-                )
-
-    return task
+        )
+    return out
 
 
 @dataclass
@@ -399,18 +422,16 @@ class VertexEngine:
 
     def _ship_sliced(
         self, msg_vec, frontier, frontier_ids, dense_sel
-    ) -> tuple[dict, None, int, object]:
+    ) -> tuple[dict, None, int, dict]:
         """Cluster-transport dense superstep: ship each chunk ONLY
         ``msg_vec[chunk_usrcs]`` (plus frontier/dense_selective slices),
-        joined onto the chunk-metadata rows — per-chunk transport is
+        carried on the chunk's own task item — per-chunk transport is
         O(srcs-per-chunk), Σ ≤ |E| values total, instead of replicating
         the full |V| vector to every chunk (VERDICT r3 missing #1). The
         chunk's src set is known at build time (pack step persists it);
         worker tasks re-derive the identical sorted-unique array, so the
         slice indexes line up by construction."""
-        import pandas as pd  # local import keeps worker deps explicit
-
-        rows, nbytes = [], 0
+        payloads, nbytes = {}, 0
         for cid, begin, end, path in self._chunk_rows():
             us = self._usrcs_of(cid, path)
             msl = np.ascontiguousarray(msg_vec[us]).tobytes()
@@ -425,19 +446,13 @@ class VertexEngine:
                 else None
             )
             nbytes += len(msl) + (len(fsl) if fsl else 0) + (len(dsl) if dsl else 0)
-            rows.append((cid, msl, fsl, dsl))
-        pdf = pd.DataFrame(
-            rows, columns=["chunk_id", "mslice", "fslice", "dslice"]
-        )
-        sdf = self.g.spark.createDataFrame(
-            pdf, schema="chunk_id int, mslice binary, fslice binary, dslice binary"
-        )
+            payloads[cid] = (msl, fsl, dsl)
         t = {"kind": "rows", "sparse": False, "msg_dtype": str(msg_vec.dtype)}
         if frontier_ids is not None:  # affected-mode changed-vertex ids
             fid_b = np.ascontiguousarray(frontier_ids, dtype=np.int64).tobytes()
             t["fids"] = fid_b
             nbytes += len(fid_b)
-        return t, None, nbytes, sdf
+        return t, None, nbytes, payloads
 
     # ---- V1: filtered map + sum reduce (graph.hpp:1406-1468) -------------
     def process_vertices(self, fn, active: np.ndarray | None = None):
@@ -464,8 +479,9 @@ class VertexEngine:
         transport is O(frontier + chunk results) through the long tail.
         On the CLUSTER transport, dense supersteps no longer replicate
         |V|: each chunk receives only its own src-slice (_ship_sliced).
-        Returns (transport, broadcast_handle, bytes_shipped, rows_df) —
-        rows_df non-None ⇒ join it onto the chunk rows."""
+        Returns (transport, broadcast_handle, bytes_shipped, payloads) —
+        payloads non-None ⇒ a {chunk_id: (mslice, fslice, dslice)} dict
+        attached to each chunk's task item."""
         compact = sparse and frontier_ids is not None
         if self.transport == "bc" and not compact:
             # sliced shipment only while the driver-side materialization
@@ -601,15 +617,40 @@ class VertexEngine:
         else:
             val_dtype = np.int64
 
-        transport, bc, bytes_shipped, rows_df = self._ship_state(
+        transport, bc, bytes_shipped, payloads = self._ship_state(
             msg_vec, frontier, sparse, frontier_ids, dense_selective
         )
+        # scale-adaptive task grouping (guide §2.2): size the task count
+        # by the superstep's WORK (active edges in pure push mode, the
+        # full edge scan otherwise — dense/affected supersteps touch every
+        # chunk edge at least as a mask), never by the core count.
+        if sparse and frontier_ids is not None and not affected_mode:
+            work = active_edges
+        else:
+            work = g.n_edges
+        n_tasks = max(
+            1,
+            min(
+                g.n_chunks,
+                max(min(_MIN_TASKS, g.n_chunks), -(-work // _EDGES_PER_TASK)),
+            ),
+        )
         try:
-            task = _make_task(
-                combiner, val_dtype, msg_offset, transport, affected_mode
+            items = [
+                (cid, begin, end, path)
+                + (payloads[cid] if payloads is not None else (None, None, None))
+                for cid, begin, end, path in self._chunk_rows()
+            ]
+            run = _run_items
+
+            def superstep(part_items, _t=transport, _c=combiner, _v=val_dtype,
+                          _o=msg_offset, _a=affected_mode):
+                return run(list(part_items), _t, _c, _v, _o, _a)
+
+            sc = g.spark.sparkContext
+            rows = (
+                sc.parallelize(items, n_tasks).mapPartitions(superstep).collect()
             )
-            src_df = g.chunks if rows_df is None else g.chunks.join(rows_df, "chunk_id")
-            rows = src_df.mapInPandas(task, _OUT_SCHEMA).collect()
         finally:
             if bc is not None:
                 bc.destroy()
@@ -623,13 +664,13 @@ class VertexEngine:
                             pass
         ids_parts, val_parts = [], []
         processed = 0
-        for row in rows:
-            processed += int(row.n_proc)
-            vals = np.frombuffer(row.vals, dtype=val_dtype)
-            if row.ids is None:
-                ids = np.arange(row.begin, row.begin + len(vals), dtype=np.int64)
+        for begin, ids_b, vals_b, n_proc in rows:
+            processed += int(n_proc)
+            vals = np.frombuffer(vals_b, dtype=val_dtype)
+            if ids_b is None:
+                ids = np.arange(begin, begin + len(vals), dtype=np.int64)
             else:
-                ids = np.frombuffer(row.ids, dtype=np.int64)
+                ids = np.frombuffer(ids_b, dtype=np.int64)
             ids_parts.append(ids)
             val_parts.append(vals)
         out_ids = (
