@@ -80,6 +80,123 @@ def _id_dtype(n_vertices: int):
     return np.int32 if n_vertices < 2**31 else np.int64
 
 
+#: |V| ceiling for the single-scan build (each scan task holds two dense
+#: int64 degree arrays — 16 bytes x |V| of transient memory per task;
+#: above this the build falls back to the shuffle path, whose degree
+#: aggregation is O(distinct ids) per task). Env-tunable per deployment:
+#: the cap is about executor memory, not core count.
+BUILD_DENSE_V_MAX = int(
+    os.environ.get("SPARK_GRAFT_BUILD_DENSE_V_MAX", str(16_000_000))
+)
+
+
+def _bucket_pass(spill_dir: str, V: int, B: int, weighted: bool):
+    """mapInPandas body for the single-scan build: bucket this input
+    partition's edges into B uniform dst blocks (written as bare .npy
+    bucket files) and bincount the partition's out/in degrees along the
+    way. One scan of the input computes BOTH what the old path needed two
+    scans and two shuffles for (degree union+groupBy, then bucketing) —
+    the heavy edge bytes move exactly once, through the filesystem
+    instead of a Spark shuffle (optimization guide §8: every shuffle but
+    the last operates on a lightweight proxy; here the proxy is the
+    per-partition degree bincount)."""
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        per_s: list[list] = [[] for _ in range(B)]
+        per_d: list[list] = [[] for _ in range(B)]
+        per_w: list[list] | None = [[] for _ in range(B)] if weighted else None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            s = pdf["src"].values.astype(np.int64)
+            d = pdf["dst"].values.astype(np.int64)
+            blk = (d * B) // V
+            order = np.argsort(blk, kind="stable")
+            s2, d2, b2 = s[order], d[order], blk[order]
+            bounds = np.searchsorted(b2, np.arange(B + 1))
+            w2 = pdf["w"].values[order] if weighted else None
+            for b in range(B):
+                lo, hi = bounds[b], bounds[b + 1]
+                if hi > lo:
+                    per_s[b].append(s2[lo:hi])
+                    per_d[b].append(d2[lo:hi])
+                    if weighted:
+                        per_w[b].append(w2[lo:hi])
+        od = np.zeros(V, dtype=np.int64)
+        ind = np.zeros(V, dtype=np.int64)
+        n = 0
+        for b in range(B):
+            if not per_s[b]:
+                continue
+            sb = np.concatenate(per_s[b])
+            db = np.concatenate(per_d[b])
+            arrays = {"srcs": sb, "dsts": db}
+            if weighted:
+                arrays["weights"] = np.concatenate(per_w[b]).astype(np.float64)
+            save_chunk_arrays(
+                os.path.join(spill_dir, f"buck_{pid:05d}_{b:05d}"), arrays
+            )
+            od += np.bincount(sb, minlength=V)
+            ind += np.bincount(db, minlength=V)
+            n += len(sb)
+        save_chunk_arrays(
+            os.path.join(spill_dir, f"deg_{pid:05d}"), {"od": od, "ind": ind}
+        )
+        yield pd.DataFrame({"pid": [pid], "n": [n]})
+
+    return run
+
+
+def _pack_from_buckets(
+    spill_dir: str, boundaries, pids: list[int], V: int, B: int,
+    weighted: bool, idt,
+):
+    """Pass-2 body for the single-scan build: assemble one final chunk
+    from the overlapping (partition, block) bucket files — a local
+    numpy filter+sort, no Spark shuffle. Deterministic: buckets are read
+    in (pid, block) order and the src sort is stable."""
+    b = np.asarray(boundaries, dtype=np.int64)
+
+    def pack(cid: int):
+        lo, hi = int(b[cid]), int(b[cid + 1])
+        if hi <= lo:
+            return None
+        blo, bhi = int((lo * B) // V), int(((hi - 1) * B) // V)
+        parts_s, parts_d, parts_w = [], [], []
+        for pid in pids:
+            for blk in range(blo, bhi + 1):
+                prefix = os.path.join(spill_dir, f"buck_{pid:05d}_{blk:05d}")
+                if not os.path.exists(f"{prefix}.srcs.npy"):
+                    continue
+                s = np.load(f"{prefix}.srcs.npy", mmap_mode="r")
+                d = np.load(f"{prefix}.dsts.npy", mmap_mode="r")
+                m = (np.asarray(d) >= lo) & (np.asarray(d) < hi)
+                if not m.any():
+                    continue
+                parts_s.append(np.asarray(s)[m])
+                parts_d.append(np.asarray(d)[m])
+                if weighted:
+                    w = np.load(f"{prefix}.weights.npy", mmap_mode="r")
+                    parts_w.append(np.asarray(w)[m])
+        if not parts_s:
+            return None
+        srcs = np.concatenate(parts_s).astype(idt)
+        dsts = np.concatenate(parts_d).astype(idt)
+        order = np.argsort(srcs, kind="stable")
+        srcs, dsts = srcs[order], dsts[order]
+        arrays = {"srcs": srcs, "dsts": dsts, "usrcs": np.unique(srcs)}
+        if weighted:
+            arrays["weights"] = np.concatenate(parts_w).astype(np.float64)[order]
+        path = os.path.join(spill_dir, f"chunk_{cid:05d}")
+        save_chunk_arrays(path, arrays)
+        return (int(cid), lo, hi, int(len(srcs)), path)
+
+    return pack
+
+
 def _pack_fn(boundaries: np.ndarray, spill_dir: str, idt):
     """applyInPandas body shared by build() and load(): pack one dst-chunk's
     edges into src-sorted spill arrays and return its metadata row."""
@@ -192,6 +309,27 @@ class ChunkedGraph:
         cols = ["src", "dst"] + (["w"] if weighted else [])
         e = edges.select(*cols)
 
+        if not distributed_boundaries:
+            # single-scan fast path (guide §8): ONE pass over the edges
+            # writes dst-block bucket files AND the degree bincounts; the
+            # final chunks are then assembled by a local filter+sort over
+            # the buckets. Replaces the old degree shuffle (union+groupBy
+            # over 2|E| rows + |V|-row toPandas), the chunk_of Python UDF
+            # over every edge, and the groupBy().applyInPandas shuffle —
+            # and scans a possibly-expensive unpersisted input ONCE
+            # instead of twice. Falls back to the shuffle path when the
+            # dense per-task degree arrays would not fit (BUILD_DENSE_V_MAX).
+            if n_vertices is None:
+                n_vertices = int(
+                    e.agg(
+                        F.max(F.greatest(F.col("src"), F.col("dst")))
+                    ).first()[0]
+                ) + 1
+            if n_vertices <= BUILD_DENSE_V_MAX:
+                return cls._build_single_scan(
+                    spark, e, n_chunks, weighted, n_vertices, spill_dir, t0
+                )
+
         # degree pass (graph.hpp:798-821)
         degdf = (
             e.select(F.col("src").alias("v"), F.lit(1).alias("o"), F.lit(0).alias("i"))
@@ -262,6 +400,84 @@ class ChunkedGraph:
             build_meta={
                 "build_s": time.time() - t0,
                 "chunk_rows": int(n_chunk_rows),
+            },
+        )
+
+    # -------------------------------------------------- single-scan build
+    @classmethod
+    def _build_single_scan(
+        cls,
+        spark: SparkSession,
+        e: DataFrame,
+        n_chunks: int,
+        weighted: bool,
+        n_vertices: int,
+        spill_dir: str,
+        t0: float,
+    ) -> "ChunkedGraph":
+        """One scan of the edges (buckets + degree bincounts, _bucket_pass)
+        followed by a shuffle-free local repack (_pack_from_buckets). The
+        bucket files play the role of shuffle output; on a multi-node
+        cluster this pattern needs executor-shared storage for the spill
+        dir — the same placement assumption the chunk files themselves
+        already make (module docstring) — or the shuffle path
+        (distributed_boundaries / past the V cap), which assumes nothing."""
+        V, B = int(n_vertices), int(n_chunks)
+        pass1 = e.mapInPandas(_bucket_pass(spill_dir, V, B, weighted), "pid int, n long")
+        pids = sorted(int(r.pid) for r in pass1.collect())
+
+        out_degree = np.zeros(V, dtype=np.int64)
+        in_degree = np.zeros(V, dtype=np.int64)
+        for pid in pids:
+            prefix = os.path.join(spill_dir, f"deg_{pid:05d}")
+            out_degree += np.load(f"{prefix}.od.npy")
+            in_degree += np.load(f"{prefix}.ind.npy")
+        n_edges = int(out_degree.sum())
+
+        b = degree_weighted_boundaries(out_degree, n_chunks)
+        idt = _id_dtype(V)
+        pack = _pack_from_buckets(spill_dir, b, pids, V, B, weighted, idt)
+        sc = spark.sparkContext
+        rows = [
+            r
+            for r in sc.parallelize(range(n_chunks), n_chunks).map(pack).collect()
+            if r is not None
+        ]
+        # bucket + degree sidecars are consumed; only chunk files remain
+        for pid in pids:
+            for blk in range(B):
+                pref = os.path.join(spill_dir, f"buck_{pid:05d}_{blk:05d}")
+                for suffix in ("srcs", "dsts", "weights"):
+                    try:
+                        os.remove(f"{pref}.{suffix}.npy")
+                    except OSError:
+                        pass
+            for suffix in ("od", "ind"):
+                try:
+                    os.remove(os.path.join(spill_dir, f"deg_{pid:05d}.{suffix}.npy"))
+                except OSError:
+                    pass
+        chunks = (
+            spark.createDataFrame(rows, _CHUNK_SCHEMA)
+            .repartition(n_chunks, "chunk_id")
+            .persist()
+        )
+        n_chunk_rows = chunks.count()
+        return cls(
+            spark=spark,
+            n_vertices=V,
+            n_edges=n_edges,
+            n_chunks=len(b) - 1,
+            boundaries=b,
+            out_degree=out_degree,
+            in_degree=in_degree,
+            chunks=chunks,
+            spill_dir=spill_dir,
+            weighted=weighted,
+            build_meta={
+                "build_s": time.time() - t0,
+                "chunk_rows": int(n_chunk_rows),
+                "single_scan": True,
             },
         )
 
