@@ -24,6 +24,7 @@ A faster chunked-numpy engine path for the same kernels lives in
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -43,6 +44,20 @@ SPARSE_DENOM = 20
 #: changed vertices emit) but join by shuffle instead of broadcast —
 #: same results, bounded memory. ~4M rows ≈ 64 MB at 16 B/row.
 BROADCAST_FRONTIER_MAX = 4_000_000
+
+#: broadcast the per-superstep STATE/MESSAGE side of the iteration joins
+#: when |V| is at most this row count (guide §3.1: pick the join strategy
+#: deliberately). The iterative kernels' state frames descend from
+#: localCheckpoint (LogicalRDD, no statistics), so Catalyst's
+#: auto-broadcast NEVER fires on them and every superstep degenerates to
+#: a SortMergeJoin — measured r7 on the 198k-vertex pipeline graph: the
+#: base⋈msgs left join was SortMergeJoin with two full exchanges per
+#: iteration. Same bounded-residency discipline as
+#: BROADCAST_FRONTIER_MAX; above the cap the shuffle join stands
+#: (results identical either way).
+BROADCAST_STATE_MAX = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_STATE_MAX", "4000000")
+)
 
 
 @dataclass
@@ -171,6 +186,13 @@ def pagerank(
     )
     base = verts.join(deg, "id", "left").fillna(0.0, subset=["outd"]).persist()
     n_verts = base.count()
+    # NOTE (r7, measured): broadcast-hinting the state/msgs joins here is
+    # a LOSS for this lazy-chain kernel — with ckpt_interval=k the k
+    # chained iterations nest 2k BroadcastExchanges, each a separate
+    # driver collect+rebroadcast job (198k-vertex pipeline graph, 20
+    # iters: baseline 19.7 s vs 24.5-29.6 s for every hinted variant).
+    # The materialized-per-step kernels (_min_fixpoint, lp, hits) DO
+    # benefit — see BROADCAST_STATE_MAX there.
 
     if start is not None:
         curr = start.select("id", F.col("rank").alias("r"))
@@ -247,8 +269,12 @@ def _min_fixpoint(
     stats = curr.agg(
         F.sum(F.col("changed").cast("long")).alias("nc"),
         F.sum(F.when(F.col("changed"), F.col("outd")).otherwise(F.lit(0))).alias("ae"),
+        F.count(F.lit(1)).alias("nv"),
     ).first()
     n_changed, active_edges = int(stats["nc"] or 0), int(stats["ae"] or 0)
+    # |V| is constant across supersteps; bounds the msgs side (≤ one row
+    # per dst) for the state-join broadcast hint (guide §3.1)
+    small_state = int(stats["nv"] or 0) <= BROADCAST_STATE_MAX
     for i in range(max_iters):
         if n_changed == 0:
             break
@@ -260,7 +286,10 @@ def _min_fixpoint(
         fr = curr.where("changed").select(
             F.col("id").alias("src"), F.col("val").alias("vsrc")
         )
-        if sparse and n_changed <= BROADCAST_FRONTIER_MAX:
+        # the frontier is always ≤ n_changed rows — broadcast it whenever
+        # it fits, dense supersteps included (the /20 rule decides which
+        # edges are SCANNED, not which join strategy fits in memory)
+        if n_changed <= BROADCAST_FRONTIER_MAX:
             fr = F.broadcast(fr)
         msgs = (
             ew.join(fr, "src")
@@ -268,6 +297,8 @@ def _min_fixpoint(
             .agg(F.min(msg_expr).alias("m"))
             .withColumnRenamed("dst", "id")
         )
+        if small_state:
+            msgs = F.broadcast(msgs)
         nxt = curr.join(msgs, "id", "left").select(
             "id",
             F.least(F.col("val"), F.coalesce(F.col("m"), F.col("val"))).alias("val"),
@@ -448,8 +479,12 @@ def label_propagation(
     stats = curr.agg(
         F.sum(F.col("changed").cast("long")).alias("nc"),
         F.sum(F.when(F.col("changed"), F.col("outd")).otherwise(F.lit(0))).alias("ae"),
+        F.count(F.lit(1)).alias("nv"),
     ).first()
     n_changed, active_edges = int(stats["nc"] or 0), int(stats["ae"] or 0)
+    # state frames descend from localCheckpoint (no stats): hint the |V|-
+    # bounded join sides explicitly when they fit (guide §3.1)
+    small_state = int(stats["nv"] or 0) <= BROADCAST_STATE_MAX
     w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("lsrc").asc())
     for i in range(iters):
         if n_changed == 0:
@@ -467,22 +502,26 @@ def label_propagation(
             if n_changed <= BROADCAST_FRONTIER_MAX:
                 fr = F.broadcast(fr)
             touched = sym.join(fr, "src").select("dst").distinct()
+            if small_state:  # ≤ one row per dst vertex
+                touched = F.broadcast(touched)
             base = sym.join(touched, "dst")
         else:
             base = sym
-        counts = (
-            base.join(
-                curr.select(F.col("id").alias("src"), F.col("label").alias("lsrc")),
-                "src",
-            )
-            .groupBy("dst", "lsrc")
-            .agg(F.sum("cnt").alias("c"))
+        lab_src = curr.select(
+            F.col("id").alias("src"), F.col("label").alias("lsrc")
+        )
+        if small_state:
+            lab_src = F.broadcast(lab_src)
+        counts = base.join(lab_src, "src").groupBy("dst", "lsrc").agg(
+            F.sum("cnt").alias("c")
         )
         pick = (
             counts.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select(F.col("dst").alias("id"), F.col("lsrc").alias("newl"))
         )
+        if small_state:
+            pick = F.broadcast(pick)
         curr = ck.step(
             i,
             curr.join(pick, "id", "left").select(
@@ -839,6 +878,8 @@ def personalized_pagerank(
         .fillna({"outd": 0.0, "tele": 0.0})
         .persist()
     )
+    base.count()
+    # no broadcast hints: lazy-chain kernel, see pagerank's r7 note
 
     if start is not None:
         curr = start.select("id", F.col("rank").alias("r"))
@@ -958,16 +999,23 @@ def hits(
     ck = _IntervalCkpt(checkpoint, 10**9, lazy_chain=False)
     ew = _collapsed(edges).persist()
     verts = _vertices_of(edges).persist()
+    # checkpointed half-step states have no stats: hint the |V|-bounded
+    # join sides explicitly when they fit (guide §3.1), same as pagerank
+    small_state = verts.count() <= BROADCAST_STATE_MAX
+
+    def hinted(df):
+        return F.broadcast(df) if small_state else df
+
     hub = verts.select("id", F.lit(1.0).alias("h"))
     auth = None
     for i in range(iters):
         araw = (
-            ew.join(hub.withColumnRenamed("id", "src"), "src")
+            ew.join(hinted(hub.withColumnRenamed("id", "src")), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("h") * F.col("cnt")).alias("a"))
             .withColumnRenamed("dst", "id")
         )
-        auth = verts.join(araw, "id", "left").select(
+        auth = verts.join(hinted(araw), "id", "left").select(
             "id", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
         )
         auth = ck.step(2 * i, auth)
@@ -976,12 +1024,12 @@ def hits(
         if na > 0:
             auth = auth.select("id", (F.col("a") / F.lit(na)).alias("a"))
         hraw = (
-            ew.join(auth.withColumnRenamed("id", "dst"), "dst")
+            ew.join(hinted(auth.withColumnRenamed("id", "dst")), "dst")
             .groupBy("src")
             .agg(F.sum(F.col("a") * F.col("cnt")).alias("h"))
             .withColumnRenamed("src", "id")
         )
-        hub = verts.join(hraw, "id", "left").select(
+        hub = verts.join(hinted(hraw), "id", "left").select(
             "id", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
         )
         hub = ck.step(2 * i + 1, hub)
@@ -1214,6 +1262,7 @@ def pagerank_weighted(
     deg = ew.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("outw"))
     base = verts.join(deg, "id", "left").fillna(0.0, subset=["outw"]).persist()
     base.count()
+    # no broadcast hints: lazy-chain kernel, see pagerank's r7 note
     curr = base.select(
         "id",
         F.when(F.col("outw") > 0, F.lit(1.0) / F.col("outw"))

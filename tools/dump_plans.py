@@ -26,14 +26,46 @@ def main() -> None:
     from geminigraph_spark.session import get_spark
 
     spark = get_spark("dump-plans", extra_conf={"spark.ui.showConsoleProgress": "false"})
-    qs = entry.queries()
-    for name in names:
-        df = qs[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().explainString(
+
+    def explain_str(df):
+        return df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
             )
         )
+
+    def superstep_plan(kernel: str) -> str:
+        """The FIRST superstep's physical plan captured through the real
+        kernel code path (the checkpoint hook sees the lazy state frame
+        before materialization) — the final returned plan of an iterative
+        kernel is just a checkpoint scan and shows nothing."""
+        from geminigraph_spark.functions import graph_algos as GA
+        from geminigraph_spark.functions.edges import events_edges
+
+        cell = {}
+
+        def cap(i, df):
+            if i >= 0 and "plan" not in cell:
+                cell["plan"] = explain_str(df)
+            return df.localCheckpoint(eager=True)
+
+        e = events_edges(spark, sf_dir)
+        if kernel == "pagerank_superstep":
+            GA.pagerank(e, iters=2, checkpoint=cap)
+        elif kernel == "cc_superstep":
+            GA.connected_components(e, max_iters=2, checkpoint=cap)
+        elif kernel == "lp_superstep":
+            GA.label_propagation(e, iters=2, checkpoint=cap)
+        else:
+            raise KeyError(kernel)
+        return cell["plan"]
+
+    qs = entry.queries()
+    for name in names:
+        if name.endswith("_superstep"):
+            plan = superstep_plan(name)
+        else:
+            plan = explain_str(qs[name](spark, sf_dir))
         path = os.path.join(out_dir, f"{name}_{tag}.txt")
         with open(path, "w") as f:
             f.write(plan)
