@@ -26,25 +26,83 @@ ranks are offset by actual partition counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: r7 measured note: broadcast-hinting the (url, id) dictionary into the
+#: edge-encoding joins is a LOSS at pipeline scale — building + shipping
+#: two broadcast hash relations of 198k url strings cost ~8 s while the
+#: two shuffle joins they would replace cost 1.7 s (urls are long keys;
+#: the string hash relation is driver-built twice). The hint was removed
+#: after measurement; the shuffle join stands at every scale.
 
 
 def assign_dense_ids(urls: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Distinct urls → (url string, id long) with ids dense 0..V-1 in
-    lexicographic url order. Deterministic and partition-count independent.
-    """
+    lexicographic url order. Deterministic and partition-count independent
+    (ids are global lexicographic ranks — any range-boundary choice yields
+    the same ids because ranks are offset by actual partition counts).
+
+    One wide shuffle total (r7, guide §2.4 — was two): a map-side
+    per-batch pre-dedup feeds ONE range repartition; equal urls land in
+    the same range partition, so a partition-local sort + cross-batch
+    dedup + running rank replaces the former separate distinct() shuffle
+    AND the row_number window re-sort. The returned DataFrame carries the
+    dictionary size as ``._gemini_n_ids`` for downstream join sizing."""
     spark = urls.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
+
+    def pre_dedup(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pdf[["url"]].drop_duplicates()
+
+    def dedup_rank(batches):
+        # partition = one sorted url range; batches arrive in sort order,
+        # so consecutive-duplicate removal across batch boundaries is a
+        # global distinct, and the running counter is the local rank
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rn = 0
+        last = None
+        for pdf in batches:
+            u = pdf["url"].values
+            if len(u) == 0:
+                continue
+            keep = np.ones(len(u), dtype=bool)
+            keep[1:] = u[1:] != u[:-1]
+            if last is not None and u[0] == last:
+                keep[0] = False
+            last = u[-1]
+            uu = u[keep]
+            out = pd.DataFrame(
+                {
+                    "url": uu,
+                    "pid": np.full(len(uu), pid, dtype=np.int32),
+                    "rn": np.arange(rn, rn + len(uu), dtype=np.int64),
+                }
+            )
+            rn += len(uu)
+            yield out
+
+    # persist the pre-deduped stream: repartitionByRange first runs a
+    # SAMPLING job over its input to pick boundaries, which would
+    # otherwise recompute the whole upstream (extraction included) twice
+    pre = urls.select("url").mapInPandas(pre_dedup, "url string").persist()
     d = (
-        urls.select("url")
-        .distinct()
-        .repartitionByRange(num_partitions, "url")
-        .withColumn("pid", F.spark_partition_id())
+        pre.repartitionByRange(num_partitions, "url")
+        .sortWithinPartitions("url")
+        .mapInPandas(dedup_rank, "url string, pid int, rn long")
         .persist()
     )
     counts = d.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    pre.unpersist()
     offsets = {}
     acc = 0
     for row in sorted(counts, key=lambda r: r["pid"]):
@@ -52,15 +110,14 @@ def assign_dense_ids(urls: DataFrame, num_partitions: int | None = None) -> Data
         acc += row["cnt"]
     off_df = F.broadcast(
         spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "pid int, off long"
+            [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+            "pid int, off long",
         )
     )
-    w = Window.partitionBy("pid").orderBy("url")
-    out = (
-        d.withColumn("rn", F.row_number().over(w))
-        .join(off_df, "pid")
-        .select("url", (F.col("off") + F.col("rn") - F.lit(1)).alias("id"))
+    out = d.join(off_df, "pid").select(
+        "url", (F.col("off") + F.col("rn")).alias("id")
     )
+    out._gemini_n_ids = acc
     return out
 
 
