@@ -1219,12 +1219,18 @@ def strongly_connected_components(
         same_rev.unpersist()
         colors.unpersist()
         n_rem = rv.count()
-    else:
+    # check the REMAINDER, not loop exhaustion (ADVICE r6): a
+    # decomposition finishing exactly on round max_rounds is complete,
+    # and for/else would have mis-raised on it
+    if n_rem > 0:
         raise RuntimeError(
-            f"strongly_connected_components: {rv.count()} vertices still "
+            f"strongly_connected_components: {n_rem} vertices still "
             f"unassigned after max_rounds={max_rounds} (an SCC-DAG root "
             "chain deeper than the bound); raise max_rounds."
         )
+    if assigned is None:  # empty edge input: no vertices, empty result
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "id long, scc_id long")
     return assigned
 
 
@@ -1703,6 +1709,13 @@ def maximal_independent_set(
             )
             live = nxt
             i += 1
+        if n_live > 0:
+            # mirror the DuckDB twin's fixpoint guard (ADVICE r6): a
+            # truncated run would silently return a NON-maximal set
+            raise RuntimeError(
+                f"maximal_independent_set: {n_live} live edges remain "
+                f"after max_iters={max_iters}; raise max_iters."
+            )
         flag = mis.distinct().withColumn("in_mis", F.lit(1))
         out = verts.join(flag, "id", "left").select(
             "id", F.coalesce(F.col("in_mis"), F.lit(0)).cast("int").alias("in_mis")

@@ -796,3 +796,31 @@ def test_degree_histogram_matches_direct(spark, g):
     verts = set(src.tolist()) | set(dst.tolist())
     hist = collections.Counter(od.get(v, 0) for v in verts)
     assert dict(got) == dict(hist)
+
+
+def test_scc_exact_round_bound_and_empty_input(spark):
+    """ADVICE r6: a decomposition that finishes exactly on round
+    max_rounds must not raise (the old for/else mis-fired), and an empty
+    edge input returns an empty (id, scc_id) frame instead of None."""
+    from geminigraph_spark.functions.graph_algos import (
+        strongly_connected_components,
+    )
+
+    # one 2-cycle: a single round assigns everything -> n_rem hits 0 at
+    # the bottom of round max_rounds=1
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    out = strongly_connected_components(df, max_rounds=1).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == [(0, 0), (1, 0)]
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out2 = strongly_connected_components(empty)
+    assert out2.columns == ["id", "scc_id"]
+    assert out2.count() == 0
+
+
+def test_mis_raises_on_truncated_fixpoint(spark):
+    """ADVICE r6: the kernel must mirror the DuckDB twin's loud fixpoint
+    guard instead of silently returning a possibly non-maximal set."""
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="live edges remain"):
+        maximal_independent_set(df, max_iters=0)
