@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
@@ -58,6 +59,27 @@ BROADCAST_FRONTIER_MAX = 4_000_000
 BROADCAST_STATE_MAX = int(
     os.environ.get("SPARK_GRAFT_BROADCAST_STATE_MAX", "4000000")
 )
+
+
+@contextmanager
+def _no_aqe_below(spark, n_rows: int):
+    """Scoped AQE-off for SMALL-graph lazy-chain kernels. AQE inserts a
+    materialization barrier + runtime re-plan at every exchange; a
+    20-iteration lazy chain carries 40+ exchanges of a few MB each,
+    where re-planning can never pay for itself (measured r7 on the
+    198k-vertex pipeline graph: pagerank20 DF 20.8 s AQE-on vs 9.8 s
+    AQE-off, identical results). Gated by problem SIZE, not core count:
+    above BROADCAST_STATE_MAX rows the kernel keeps AQE's skew-join and
+    partition-coalescing protections untouched."""
+    if n_rows > BROADCAST_STATE_MAX:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 @dataclass
@@ -194,43 +216,44 @@ def pagerank(
     # The materialized-per-step kernels (_min_fixpoint, lp, hits) DO
     # benefit — see BROADCAST_STATE_MAX there.
 
-    if start is not None:
-        curr = start.select("id", F.col("rank").alias("r"))
-    else:
-        curr = base.select(
-            "id",
-            F.when(F.col("outd") > 0, F.lit(1.0) / F.col("outd"))
-            .otherwise(F.lit(1.0))
-            .alias("r"),
-        )
-        curr = ck.step(-1, curr)
-
-    for i in range(start_iter, iters):
-        dm = 0.0
-        if redistribute_dangling:
-            # dangling vertices are undivided, so their r IS their rank
-            dm = (
-                curr.join(base.where(F.col("outd") == 0.0).select("id"), "id")
-                .agg(F.sum("r"))
-                .first()[0]
-                or 0.0
-            )
-            ck.materialized()
-        msgs = (
-            ew.join(curr.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") * F.col("cnt")).alias("s"))
-            .withColumnRenamed("dst", "id")
-        )
-        val = F.lit(1.0 - d) + F.lit(d) * (
-            F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n_verts)
-        )
-        if i != iters - 1:
-            r = F.when(F.col("outd") > 0, val / F.col("outd")).otherwise(val)
+    with _no_aqe_below(edges.sparkSession, n_verts):
+        if start is not None:
+            curr = start.select("id", F.col("rank").alias("r"))
         else:
-            r = val
-        curr = base.join(msgs, "id", "left").select("id", r.alias("r"))
-        curr = ck.step(i, curr, force=(i == iters - 1))
+            curr = base.select(
+                "id",
+                F.when(F.col("outd") > 0, F.lit(1.0) / F.col("outd"))
+                .otherwise(F.lit(1.0))
+                .alias("r"),
+            )
+            curr = ck.step(-1, curr)
+
+        for i in range(start_iter, iters):
+            dm = 0.0
+            if redistribute_dangling:
+                # dangling vertices are undivided, so their r IS their rank
+                dm = (
+                    curr.join(base.where(F.col("outd") == 0.0).select("id"), "id")
+                    .agg(F.sum("r"))
+                    .first()[0]
+                    or 0.0
+                )
+                ck.materialized()
+            msgs = (
+                ew.join(curr.withColumnRenamed("id", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("r") * F.col("cnt")).alias("s"))
+                .withColumnRenamed("dst", "id")
+            )
+            val = F.lit(1.0 - d) + F.lit(d) * (
+                F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n_verts)
+            )
+            if i != iters - 1:
+                r = F.when(F.col("outd") > 0, val / F.col("outd")).otherwise(val)
+            else:
+                r = val
+            curr = base.join(msgs, "id", "left").select("id", r.alias("r"))
+            curr = ck.step(i, curr, force=(i == iters - 1))
 
     ew.unpersist()
     return curr.select("id", F.col("r").alias("rank"))
@@ -878,36 +901,37 @@ def personalized_pagerank(
         .fillna({"outd": 0.0, "tele": 0.0})
         .persist()
     )
-    base.count()
+    n_verts = base.count()
     # no broadcast hints: lazy-chain kernel, see pagerank's r7 note
 
-    if start is not None:
-        curr = start.select("id", F.col("rank").alias("r"))
-    else:
-        curr = base.select(
-            "id",
-            F.when(F.col("outd") > 0, F.col("tele") / F.col("outd"))
-            .otherwise(F.col("tele"))
-            .alias("r"),
-        )
-        curr = ck.step(-1, curr)
-
-    for i in range(start_iter, iters):
-        msgs = (
-            ew.join(curr.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") * F.col("cnt")).alias("s"))
-            .withColumnRenamed("dst", "id")
-        )
-        val = F.lit(1.0 - d) * F.col("tele") + F.lit(d) * F.coalesce(
-            F.col("s"), F.lit(0.0)
-        )
-        if i != iters - 1:
-            r = F.when(F.col("outd") > 0, val / F.col("outd")).otherwise(val)
+    with _no_aqe_below(edges.sparkSession, n_verts):
+        if start is not None:
+            curr = start.select("id", F.col("rank").alias("r"))
         else:
-            r = val
-        curr = base.join(msgs, "id", "left").select("id", r.alias("r"))
-        curr = ck.step(i, curr, force=(i == iters - 1))
+            curr = base.select(
+                "id",
+                F.when(F.col("outd") > 0, F.col("tele") / F.col("outd"))
+                .otherwise(F.col("tele"))
+                .alias("r"),
+            )
+            curr = ck.step(-1, curr)
+
+        for i in range(start_iter, iters):
+            msgs = (
+                ew.join(curr.withColumnRenamed("id", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("r") * F.col("cnt")).alias("s"))
+                .withColumnRenamed("dst", "id")
+            )
+            val = F.lit(1.0 - d) * F.col("tele") + F.lit(d) * F.coalesce(
+                F.col("s"), F.lit(0.0)
+            )
+            if i != iters - 1:
+                r = F.when(F.col("outd") > 0, val / F.col("outd")).otherwise(val)
+            else:
+                r = val
+            curr = base.join(msgs, "id", "left").select("id", r.alias("r"))
+            curr = ck.step(i, curr, force=(i == iters - 1))
 
     ew.unpersist()
     return curr.select("id", F.col("r").alias("rank"))
@@ -1267,29 +1291,30 @@ def pagerank_weighted(
     verts = _vertices_of(wedges)
     deg = ew.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("outw"))
     base = verts.join(deg, "id", "left").fillna(0.0, subset=["outw"]).persist()
-    base.count()
+    n_verts = base.count()
     # no broadcast hints: lazy-chain kernel, see pagerank's r7 note
-    curr = base.select(
-        "id",
-        F.when(F.col("outw") > 0, F.lit(1.0) / F.col("outw"))
-        .otherwise(F.lit(1.0))
-        .alias("r"),
-    )
-    curr = ck.step(-1, curr)
-    for i in range(iters):
-        msgs = (
-            ew.join(curr.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") * F.col("w")).alias("s"))
-            .withColumnRenamed("dst", "id")
+    with _no_aqe_below(wedges.sparkSession, n_verts):
+        curr = base.select(
+            "id",
+            F.when(F.col("outw") > 0, F.lit(1.0) / F.col("outw"))
+            .otherwise(F.lit(1.0))
+            .alias("r"),
         )
-        val = F.lit(1.0 - d) + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0))
-        if i != iters - 1:
-            r = F.when(F.col("outw") > 0, val / F.col("outw")).otherwise(val)
-        else:
-            r = val
-        curr = base.join(msgs, "id", "left").select("id", r.alias("r"))
-        curr = ck.step(i, curr, force=(i == iters - 1))
+        curr = ck.step(-1, curr)
+        for i in range(iters):
+            msgs = (
+                ew.join(curr.withColumnRenamed("id", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("r") * F.col("w")).alias("s"))
+                .withColumnRenamed("dst", "id")
+            )
+            val = F.lit(1.0 - d) + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0))
+            if i != iters - 1:
+                r = F.when(F.col("outw") > 0, val / F.col("outw")).otherwise(val)
+            else:
+                r = val
+            curr = base.join(msgs, "id", "left").select("id", r.alias("r"))
+            curr = ck.step(i, curr, force=(i == iters - 1))
     ew.unpersist()
     return curr.select("id", F.col("r").alias("rank"))
 
