@@ -90,74 +90,63 @@ BUILD_DENSE_V_MAX = int(
 )
 
 
-def _bucket_pass(spill_dir: str, V: int, B: int, weighted: bool):
-    """mapInPandas body for the single-scan build: bucket this input
-    partition's edges into B uniform dst blocks (written as bare .npy
-    bucket files) and bincount the partition's out/in degrees along the
-    way. One scan of the input computes BOTH what the old path needed two
-    scans and two shuffles for (degree union+groupBy, then bucketing) —
-    the heavy edge bytes move exactly once, through the filesystem
-    instead of a Spark shuffle (optimization guide §8: every shuffle but
-    the last operates on a lightweight proxy; here the proxy is the
-    per-partition degree bincount)."""
+def _read_block(bucket_dir: str, blk: int, weighted: bool):
+    """Worker-side: one dst block's bucketed edges as numpy arrays
+    (pyarrow parquet decode — multi-GB/s for plain int columns, no
+    JVM↔Python row streaming). Files are read in sorted-name order
+    (task-id prefixed), so the concatenation is deterministic for a
+    deterministically-partitioned input."""
+    import pyarrow.parquet as pq
 
-    def run(batches):
-        from pyspark import TaskContext
+    d = os.path.join(bucket_dir, f"blk={blk}")
+    if not os.path.isdir(d):
+        return None
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    if not files:
+        return None
+    cols = ["src", "dst"] + (["w"] if weighted else [])
+    tabs = [pq.read_table(f, columns=cols) for f in files]
+    import pyarrow as pa
 
-        pid = TaskContext.get().partitionId()
-        per_s: list[list] = [[] for _ in range(B)]
-        per_d: list[list] = [[] for _ in range(B)]
-        per_w: list[list] | None = [[] for _ in range(B)] if weighted else None
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            s = pdf["src"].values.astype(np.int64)
-            d = pdf["dst"].values.astype(np.int64)
-            blk = (d * B) // V
-            order = np.argsort(blk, kind="stable")
-            s2, d2, b2 = s[order], d[order], blk[order]
-            bounds = np.searchsorted(b2, np.arange(B + 1))
-            w2 = pdf["w"].values[order] if weighted else None
-            for b in range(B):
-                lo, hi = bounds[b], bounds[b + 1]
-                if hi > lo:
-                    per_s[b].append(s2[lo:hi])
-                    per_d[b].append(d2[lo:hi])
-                    if weighted:
-                        per_w[b].append(w2[lo:hi])
-        od = np.zeros(V, dtype=np.int64)
-        ind = np.zeros(V, dtype=np.int64)
-        n = 0
-        for b in range(B):
-            if not per_s[b]:
-                continue
-            sb = np.concatenate(per_s[b])
-            db = np.concatenate(per_d[b])
-            arrays = {"srcs": sb, "dsts": db}
-            if weighted:
-                arrays["weights"] = np.concatenate(per_w[b]).astype(np.float64)
-            save_chunk_arrays(
-                os.path.join(spill_dir, f"buck_{pid:05d}_{b:05d}"), arrays
-            )
-            od += np.bincount(sb, minlength=V)
-            ind += np.bincount(db, minlength=V)
-            n += len(sb)
+    t = pa.concat_tables(tabs)
+    out = {
+        "src": t.column("src").to_numpy(zero_copy_only=False),
+        "dst": t.column("dst").to_numpy(zero_copy_only=False),
+    }
+    if weighted:
+        out["w"] = t.column("w").to_numpy(zero_copy_only=False)
+    return out
+
+
+def _block_degrees(bucket_dir: str, spill_dir: str, V: int, weighted: bool):
+    """Per-block degree partials (bincounts over the block's edges),
+    saved as .npy for the driver to sum — the lightweight proxy that
+    decides chunk boundaries while the heavy bytes stay put (guide §8)."""
+
+    def deg(blk: int):
+        a = _read_block(bucket_dir, blk, False)
+        if a is None:
+            return None
+        od = np.bincount(a["src"], minlength=V)
+        ind = np.bincount(a["dst"], minlength=V)
         save_chunk_arrays(
-            os.path.join(spill_dir, f"deg_{pid:05d}"), {"od": od, "ind": ind}
+            os.path.join(spill_dir, f"deg_{blk:05d}"), {"od": od, "ind": ind}
         )
-        yield pd.DataFrame({"pid": [pid], "n": [n]})
+        return (int(blk), int(len(a["src"])))
 
-    return run
+    return deg
 
 
-def _pack_from_buckets(
-    spill_dir: str, boundaries, pids: list[int], V: int, B: int,
+def _pack_from_blocks(
+    bucket_dir: str, spill_dir: str, boundaries, V: int, B: int,
     weighted: bool, idt,
 ):
-    """Pass-2 body for the single-scan build: assemble one final chunk
-    from the overlapping (partition, block) bucket files — a local
-    numpy filter+sort, no Spark shuffle. Deterministic: buckets are read
-    in (pid, block) order and the src sort is stable."""
+    """Pass-3 body for the single-scan build: assemble one final chunk
+    from the overlapping dst-block parquet dirs — a local numpy
+    filter+sort, no Spark shuffle. Deterministic: blocks are read in
+    order and the src sort is stable."""
     b = np.asarray(boundaries, dtype=np.int64)
 
     def pack(cid: int):
@@ -166,21 +155,18 @@ def _pack_from_buckets(
             return None
         blo, bhi = int((lo * B) // V), int(((hi - 1) * B) // V)
         parts_s, parts_d, parts_w = [], [], []
-        for pid in pids:
-            for blk in range(blo, bhi + 1):
-                prefix = os.path.join(spill_dir, f"buck_{pid:05d}_{blk:05d}")
-                if not os.path.exists(f"{prefix}.srcs.npy"):
-                    continue
-                s = np.load(f"{prefix}.srcs.npy", mmap_mode="r")
-                d = np.load(f"{prefix}.dsts.npy", mmap_mode="r")
-                m = (np.asarray(d) >= lo) & (np.asarray(d) < hi)
-                if not m.any():
-                    continue
-                parts_s.append(np.asarray(s)[m])
-                parts_d.append(np.asarray(d)[m])
-                if weighted:
-                    w = np.load(f"{prefix}.weights.npy", mmap_mode="r")
-                    parts_w.append(np.asarray(w)[m])
+        for blk in range(blo, bhi + 1):
+            a = _read_block(bucket_dir, blk, weighted)
+            if a is None:
+                continue
+            d = a["dst"]
+            m = (d >= lo) & (d < hi)
+            if not m.any():
+                continue
+            parts_s.append(a["src"][m])
+            parts_d.append(d[m])
+            if weighted:
+                parts_w.append(a["w"][m])
         if not parts_s:
             return None
         srcs = np.concatenate(parts_s).astype(idt)
@@ -415,46 +401,70 @@ class ChunkedGraph:
         spill_dir: str,
         t0: float,
     ) -> "ChunkedGraph":
-        """One scan of the edges (buckets + degree bincounts, _bucket_pass)
-        followed by a shuffle-free local repack (_pack_from_buckets). The
+        """One JVM-only scan of the edges writes dst-block-partitioned
+        parquet buckets (whole-stage codegen, NO JVM↔Python boundary for
+        the heavy bytes — guide §4: a mapInPandas bucket pass measured
+        87% of its task time waiting on Arrow batch delivery); two
+        shuffle-free local passes (pyarrow block reads) then compute the
+        degree proxy and assemble the final degree-weighted chunks. The
         bucket files play the role of shuffle output; on a multi-node
         cluster this pattern needs executor-shared storage for the spill
         dir — the same placement assumption the chunk files themselves
         already make (module docstring) — or the shuffle path
         (distributed_boundaries / past the V cap), which assumes nothing."""
         V, B = int(n_vertices), int(n_chunks)
-        pass1 = e.mapInPandas(_bucket_pass(spill_dir, V, B, weighted), "pid int, n long")
-        pids = sorted(int(r.pid) for r in pass1.collect())
+        # narrow ids to int32 when they fit (guide §2.3): halves the
+        # bucket bytes written and re-read
+        if V <= 2**31 - 1:
+            keep = (["w"] if weighted else [])
+            e = e.select(
+                F.col("src").cast("int").alias("src"),
+                F.col("dst").cast("int").alias("dst"),
+                *keep,
+            )
+        bucket_dir = os.path.join(spill_dir, "_buckets")
+        blk = F.expr(f"CAST((CAST(dst AS BIGINT) * {B}) DIV {V} AS INT)")
+        (
+            e.withColumn("blk", blk)
+            .write.mode("overwrite")
+            .option("compression", "snappy")
+            .partitionBy("blk")
+            .parquet(bucket_dir)
+        )
+        t_scan = time.time()
 
+        sc = spark.sparkContext
+        deg = _block_degrees(bucket_dir, spill_dir, V, weighted)
+        blocks = [
+            r
+            for r in sc.parallelize(range(B), B).map(deg).collect()
+            if r is not None
+        ]
         out_degree = np.zeros(V, dtype=np.int64)
         in_degree = np.zeros(V, dtype=np.int64)
-        for pid in pids:
-            prefix = os.path.join(spill_dir, f"deg_{pid:05d}")
+        for bid, _n in blocks:
+            prefix = os.path.join(spill_dir, f"deg_{bid:05d}")
             out_degree += np.load(f"{prefix}.od.npy")
             in_degree += np.load(f"{prefix}.ind.npy")
         n_edges = int(out_degree.sum())
 
         b = degree_weighted_boundaries(out_degree, n_chunks)
         idt = _id_dtype(V)
-        pack = _pack_from_buckets(spill_dir, b, pids, V, B, weighted, idt)
-        sc = spark.sparkContext
+        pack = _pack_from_blocks(
+            bucket_dir, spill_dir, b, V, B, weighted, idt
+        )
         rows = [
             r
             for r in sc.parallelize(range(n_chunks), n_chunks).map(pack).collect()
             if r is not None
         ]
+        t_pack = time.time()
         # bucket + degree sidecars are consumed; only chunk files remain
-        for pid in pids:
-            for blk in range(B):
-                pref = os.path.join(spill_dir, f"buck_{pid:05d}_{blk:05d}")
-                for suffix in ("srcs", "dsts", "weights"):
-                    try:
-                        os.remove(f"{pref}.{suffix}.npy")
-                    except OSError:
-                        pass
+        shutil.rmtree(bucket_dir, ignore_errors=True)
+        for bid, _n in blocks:
             for suffix in ("od", "ind"):
                 try:
-                    os.remove(os.path.join(spill_dir, f"deg_{pid:05d}.{suffix}.npy"))
+                    os.remove(os.path.join(spill_dir, f"deg_{bid:05d}.{suffix}.npy"))
                 except OSError:
                     pass
         chunks = (
@@ -476,6 +486,8 @@ class ChunkedGraph:
             weighted=weighted,
             build_meta={
                 "build_s": time.time() - t0,
+                "scan_s": round(t_scan - t0, 3),
+                "pack_s": round(t_pack - t_scan, 3),
                 "chunk_rows": int(n_chunk_rows),
                 "single_scan": True,
             },
