@@ -89,6 +89,17 @@ BUILD_DENSE_V_MAX = int(
     os.environ.get("SPARK_GRAFT_BUILD_DENSE_V_MAX", str(16_000_000))
 )
 
+#: |V| floor for the single-scan build: on SMALL graphs the build is
+#: job-overhead-bound, and the partitioned parquet bucket write's
+#: per-file commit overhead (tasks × blocks files) costs more than the
+#: second scan it saves (measured r7, 198k-vertex / 688k-edge pipeline
+#: graph: single-scan 4.0-4.9 s vs shuffle path 1.7-3.0 s; at 1M
+#: vertices / 30-60M edges the single-scan wins 2-3×). Size-derived,
+#: not core-count-derived; env-tunable per deployment.
+SINGLE_SCAN_MIN_V = int(
+    os.environ.get("SPARK_GRAFT_BUILD_SINGLE_SCAN_MIN_V", str(500_000))
+)
+
 
 def _read_block(bucket_dir: str, blk: int, weighted: bool):
     """Worker-side: one dst block's bucketed edges as numpy arrays
@@ -311,7 +322,7 @@ class ChunkedGraph:
                         F.max(F.greatest(F.col("src"), F.col("dst")))
                     ).first()[0]
                 ) + 1
-            if n_vertices <= BUILD_DENSE_V_MAX:
+            if SINGLE_SCAN_MIN_V <= n_vertices <= BUILD_DENSE_V_MAX:
                 return cls._build_single_scan(
                     spark, e, n_chunks, weighted, n_vertices, spill_dir, t0
                 )

@@ -663,3 +663,47 @@ def test_hits_engine_matches_oracle(spark, built):
     auth, hub, _ = hits_engine(g, g_t, iters=5)
     assert np.allclose(auth, wa, atol=1e-12)
     assert np.allclose(hub, wh, atol=1e-12)
+
+
+def test_single_scan_build_matches_shuffle_build(spark, built):
+    """The single-scan (parquet-bucketed) build and the shuffle build
+    must produce identical graphs: same degrees, boundaries, edge count
+    and kernel results (r7: the build routes by |V| between them)."""
+    from geminigraph_spark.operators import chunked_graph as CG
+
+    src, dst, w, n, g, sym, wg = built
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(src, dst)], "src long, dst long"
+    )
+    old_min = CG.SINGLE_SCAN_MIN_V
+    CG.SINGLE_SCAN_MIN_V = 0  # force the single-scan path at fixture scale
+    try:
+        g2 = ChunkedGraph.build(spark, df, n_chunks=5, n_vertices=n)
+        wdf = spark.createDataFrame(
+            [(int(s), int(d), float(x)) for s, d, x in zip(src, dst, w)],
+            "src long, dst long, w double",
+        )
+        wg2 = ChunkedGraph.build(
+            spark, wdf, n_chunks=5, weighted=True, n_vertices=n
+        )
+    finally:
+        CG.SINGLE_SCAN_MIN_V = old_min
+    assert g2.build_meta.get("single_scan") is True
+    assert g2.n_edges == g.n_edges
+    assert np.array_equal(g2.boundaries, g.boundaries)
+    assert np.array_equal(g2.out_degree, g.out_degree)
+    assert np.array_equal(g2.in_degree, g.in_degree)
+    from geminigraph_spark.operators.algorithms import (
+        pagerank_engine,
+        sssp_engine,
+    )
+
+    want, _ = pagerank_engine(g, iters=5)
+    got, _ = pagerank_engine(g2, iters=5)
+    assert np.allclose(got, want, atol=0)
+    root = int(src[0])
+    want_d, _ = sssp_engine(wg, root=root)
+    got_d, _ = sssp_engine(wg2, root=root)
+    assert np.allclose(got_d, want_d, atol=0)
+    g2.unpersist()
+    wg2.unpersist()
