@@ -61,17 +61,34 @@ BROADCAST_STATE_MAX = int(
 )
 
 
+#: edge-side bound for the scoped AQE-off: AQE's skew-join protection
+#: acts on the EDGE-sized exchanges, so a small-|V|/huge-|E| skewed
+#: graph must keep it even when the state side is tiny. ~50M collapsed
+#: edge rows is where one straggler partition would start to hurt.
+NO_AQE_EDGES_MAX = int(
+    os.environ.get("SPARK_GRAFT_NO_AQE_EDGES_MAX", "50000000")
+)
+
+
 @contextmanager
-def _no_aqe_below(spark, n_rows: int):
+def _no_aqe_below(spark, n_rows: int, n_edge_rows: int):
     """Scoped AQE-off for SMALL-graph lazy-chain kernels. AQE inserts a
     materialization barrier + runtime re-plan at every exchange; a
     20-iteration lazy chain carries 40+ exchanges of a few MB each,
     where re-planning can never pay for itself (measured r7 on the
     198k-vertex pipeline graph: pagerank20 DF 20.8 s AQE-on vs 9.8 s
-    AQE-off, identical results). Gated by problem SIZE, not core count:
-    above BROADCAST_STATE_MAX rows the kernel keeps AQE's skew-join and
-    partition-coalescing protections untouched."""
-    if n_rows > BROADCAST_STATE_MAX:
+    AQE-off, identical results). Gated by problem SIZE, not core count,
+    on BOTH dimensions: past BROADCAST_STATE_MAX state rows or
+    NO_AQE_EDGES_MAX edge rows the kernel keeps AQE's skew-join and
+    partition-coalescing protections untouched.
+
+    Scope caveats (accepted): the flag is session-level, so a
+    concurrent query on the same SparkSession during the kernel loop
+    would also run without AQE; and a caller-supplied LAZY checkpoint
+    hook defers execution past the restore, losing (only) the
+    optimization. The kernels' own default hooks are eager and the
+    driver runs kernels sequentially."""
+    if n_rows > BROADCAST_STATE_MAX or n_edge_rows > NO_AQE_EDGES_MAX:
         yield
         return
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -215,8 +232,9 @@ def pagerank(
     # iters: baseline 19.7 s vs 24.5-29.6 s for every hinted variant).
     # The materialized-per-step kernels (_min_fixpoint, lp, hits) DO
     # benefit — see BROADCAST_STATE_MAX there.
+    n_ew = ew.count()
 
-    with _no_aqe_below(edges.sparkSession, n_verts):
+    with _no_aqe_below(edges.sparkSession, n_verts, n_ew):
         if start is not None:
             curr = start.select("id", F.col("rank").alias("r"))
         else:
@@ -904,7 +922,7 @@ def personalized_pagerank(
     n_verts = base.count()
     # no broadcast hints: lazy-chain kernel, see pagerank's r7 note
 
-    with _no_aqe_below(edges.sparkSession, n_verts):
+    with _no_aqe_below(edges.sparkSession, n_verts, ew.count()):
         if start is not None:
             curr = start.select("id", F.col("rank").alias("r"))
         else:
@@ -1293,7 +1311,7 @@ def pagerank_weighted(
     base = verts.join(deg, "id", "left").fillna(0.0, subset=["outw"]).persist()
     n_verts = base.count()
     # no broadcast hints: lazy-chain kernel, see pagerank's r7 note
-    with _no_aqe_below(wedges.sparkSession, n_verts):
+    with _no_aqe_below(wedges.sparkSession, n_verts, ew.count()):
         curr = base.select(
             "id",
             F.when(F.col("outw") > 0, F.lit(1.0) / F.col("outw"))

@@ -131,7 +131,7 @@ def _read_block(bucket_dir: str, blk: int, weighted: bool):
     return out
 
 
-def _block_degrees(bucket_dir: str, spill_dir: str, V: int, weighted: bool):
+def _block_degrees(bucket_dir: str, spill_dir: str, V: int):
     """Per-block degree partials (bincounts over the block's edges),
     saved as .npy for the driver to sum — the lightweight proxy that
     decides chunk boundaries while the heavy bytes stay put (guide §8)."""
@@ -306,7 +306,11 @@ class ChunkedGraph:
         cols = ["src", "dst"] + (["w"] if weighted else [])
         e = edges.select(*cols)
 
-        if not distributed_boundaries:
+        if (
+            not distributed_boundaries
+            and n_vertices is not None
+            and SINGLE_SCAN_MIN_V <= n_vertices <= BUILD_DENSE_V_MAX
+        ):
             # single-scan fast path (guide §8): ONE pass over the edges
             # writes dst-block bucket files AND the degree bincounts; the
             # final chunks are then assembled by a local filter+sort over
@@ -314,18 +318,16 @@ class ChunkedGraph:
             # over 2|E| rows + |V|-row toPandas), the chunk_of Python UDF
             # over every edge, and the groupBy().applyInPandas shuffle —
             # and scans a possibly-expensive unpersisted input ONCE
-            # instead of twice. Falls back to the shuffle path when the
-            # dense per-task degree arrays would not fit (BUILD_DENSE_V_MAX).
-            if n_vertices is None:
-                n_vertices = int(
-                    e.agg(
-                        F.max(F.greatest(F.col("src"), F.col("dst")))
-                    ).first()[0]
-                ) + 1
-            if SINGLE_SCAN_MIN_V <= n_vertices <= BUILD_DENSE_V_MAX:
-                return cls._build_single_scan(
-                    spark, e, n_chunks, weighted, n_vertices, spill_dir, t0
-                )
+            # instead of twice. Taken only when the CALLER knows |V|
+            # (deriving it would cost its own full scan of the input —
+            # the shuffle path gets |V| from its degree pass for free)
+            # and |V| is large enough for the scan savings to beat the
+            # partitioned write's per-file commit overhead yet small
+            # enough for the dense per-task degree arrays
+            # (SINGLE_SCAN_MIN_V / BUILD_DENSE_V_MAX).
+            return cls._build_single_scan(
+                spark, e, n_chunks, weighted, n_vertices, spill_dir, t0
+            )
 
         # degree pass (graph.hpp:798-821)
         degdf = (
@@ -445,7 +447,7 @@ class ChunkedGraph:
         t_scan = time.time()
 
         sc = spark.sparkContext
-        deg = _block_degrees(bucket_dir, spill_dir, V, weighted)
+        deg = _block_degrees(bucket_dir, spill_dir, V)
         blocks = [
             r
             for r in sc.parallelize(range(B), B).map(deg).collect()

@@ -51,8 +51,7 @@ def assign_dense_ids(urls: DataFrame, num_partitions: int | None = None) -> Data
     per-batch pre-dedup feeds ONE range repartition; equal urls land in
     the same range partition, so a partition-local sort + cross-batch
     dedup + running rank replaces the former separate distinct() shuffle
-    AND the row_number window re-sort. The returned DataFrame carries the
-    dictionary size as ``._gemini_n_ids`` for downstream join sizing."""
+    AND the row_number window re-sort."""
     spark = urls.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -117,7 +116,6 @@ def assign_dense_ids(urls: DataFrame, num_partitions: int | None = None) -> Data
     out = d.join(off_df, "pid").select(
         "url", (F.col("off") + F.col("rn")).alias("id")
     )
-    out._gemini_n_ids = acc
     return out
 
 
