@@ -69,34 +69,65 @@ NO_AQE_EDGES_MAX = int(
     os.environ.get("SPARK_GRAFT_NO_AQE_EDGES_MAX", "50000000")
 )
 
+#: per-shuffle-partition STATE-row target inside the small-graph kernel
+#: scope (guide §2.2: size partitions by data, not by core count): a
+#: 198k-row state sharded 32 ways is ~100 KB/task of pure scheduling
+#: overhead per exchange. The scope derives the partition count from
+#: |V| / this target (floor 4) and NEVER raises it above the session's
+#: own setting, so large graphs are untouched.
+SMALL_GRAPH_ROWS_PER_PARTITION = int(
+    os.environ.get("SPARK_GRAFT_SMALL_GRAPH_ROWS_PER_PARTITION", "25000")
+)
+
 
 @contextmanager
-def _no_aqe_below(spark, n_rows: int, n_edge_rows: int):
-    """Scoped AQE-off for SMALL-graph lazy-chain kernels. AQE inserts a
-    materialization barrier + runtime re-plan at every exchange; a
-    20-iteration lazy chain carries 40+ exchanges of a few MB each,
-    where re-planning can never pay for itself (measured r7 on the
-    198k-vertex pipeline graph: pagerank20 DF 20.8 s AQE-on vs 9.8 s
-    AQE-off, identical results). Gated by problem SIZE, not core count,
-    on BOTH dimensions: past BROADCAST_STATE_MAX state rows or
-    NO_AQE_EDGES_MAX edge rows the kernel keeps AQE's skew-join and
-    partition-coalescing protections untouched.
+def _small_graph_scope(
+    spark, n_rows: int, n_edge_rows: int, disable_aqe: bool = True
+):
+    """Scoped runtime-conf adaptation for SMALL-graph iterative kernels,
+    gated by problem SIZE on both dimensions (state rows ≤
+    BROADCAST_STATE_MAX and edge rows ≤ NO_AQE_EDGES_MAX — past either,
+    a no-op and AQE's skew-join/coalescing protections stay untouched):
 
-    Scope caveats (accepted): the flag is session-level, so a
+    - shuffle partitions sized by |V| (SMALL_GRAPH_ROWS_PER_PARTITION,
+      never above the session setting): measured r7 on the 198k-vertex
+      pipeline graph, 32→8 partitions took cc DF 7.2→4.4 s and
+      pagerank DF 10.2→8.1 s — the exchanges carry ~3 MB total, so
+      per-task scheduling dominates.
+    - ``disable_aqe`` (lazy-chain kernels only): AQE inserts a
+      materialization barrier + runtime re-plan at every exchange; a
+      20-iteration lazy chain carries 40+ exchanges of a few MB each
+      (measured r7: pagerank20 DF 20.8 s AQE-on vs 9.8 s AQE-off,
+      identical results). The materialized-per-step kernels keep AQE on
+      (measured neutral there).
+
+    Scope caveats (accepted): the flags are session-level, so a
     concurrent query on the same SparkSession during the kernel loop
-    would also run without AQE; and a caller-supplied LAZY checkpoint
-    hook defers execution past the restore, losing (only) the
-    optimization. The kernels' own default hooks are eager and the
-    driver runs kernels sequentially."""
+    would see them; and a caller-supplied LAZY checkpoint hook defers
+    execution past the restore, losing (only) the optimization. The
+    kernels' own default hooks are eager and the driver runs kernels
+    sequentially."""
     if n_rows > BROADCAST_STATE_MAX or n_edge_rows > NO_AQE_EDGES_MAX:
         yield
         return
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    conf = spark.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        prev_sp_n = int(prev_sp)
+    except ValueError:  # pragma: no cover
+        prev_sp_n = 200
+    target = max(
+        4, min(prev_sp_n, -(-n_rows // SMALL_GRAPH_ROWS_PER_PARTITION))
+    )
+    if disable_aqe:
+        conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", str(target))
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 @dataclass
@@ -234,7 +265,7 @@ def pagerank(
     # benefit — see BROADCAST_STATE_MAX there.
     n_ew = ew.count()
 
-    with _no_aqe_below(edges.sparkSession, n_verts, n_ew):
+    with _small_graph_scope(edges.sparkSession, n_verts, n_ew):
         if start is not None:
             curr = start.select("id", F.col("rank").alias("r"))
         else:
@@ -315,44 +346,57 @@ def _min_fixpoint(
     n_changed, active_edges = int(stats["nc"] or 0), int(stats["ae"] or 0)
     # |V| is constant across supersteps; bounds the msgs side (≤ one row
     # per dst) for the state-join broadcast hint (guide §3.1)
-    small_state = int(stats["nv"] or 0) <= BROADCAST_STATE_MAX
-    for i in range(max_iters):
-        if n_changed == 0:
-            break
-        sparse = active_edges < n_edges / SPARSE_DENOM
-        if metrics is not None:
-            metrics.append(
-                DFIterMetrics(i, "sparse" if sparse else "dense", n_changed, active_edges)
+    n_verts = int(stats["nv"] or 0)
+    small_state = n_verts <= BROADCAST_STATE_MAX
+    with _small_graph_scope(
+        ew.sparkSession, n_verts, n_edges, disable_aqe=False
+    ):
+        for i in range(max_iters):
+            if n_changed == 0:
+                break
+            sparse = active_edges < n_edges / SPARSE_DENOM
+            if metrics is not None:
+                metrics.append(
+                    DFIterMetrics(
+                        i, "sparse" if sparse else "dense", n_changed, active_edges
+                    )
+                )
+            fr = curr.where("changed").select(
+                F.col("id").alias("src"), F.col("val").alias("vsrc")
             )
-        fr = curr.where("changed").select(
-            F.col("id").alias("src"), F.col("val").alias("vsrc")
-        )
-        # the frontier is always ≤ n_changed rows — broadcast it whenever
-        # it fits, dense supersteps included (the /20 rule decides which
-        # edges are SCANNED, not which join strategy fits in memory)
-        if n_changed <= BROADCAST_FRONTIER_MAX:
-            fr = F.broadcast(fr)
-        msgs = (
-            ew.join(fr, "src")
-            .groupBy("dst")
-            .agg(F.min(msg_expr).alias("m"))
-            .withColumnRenamed("dst", "id")
-        )
-        if small_state:
-            msgs = F.broadcast(msgs)
-        nxt = curr.join(msgs, "id", "left").select(
-            "id",
-            F.least(F.col("val"), F.coalesce(F.col("m"), F.col("val"))).alias("val"),
-            "outd",
-            (F.coalesce(F.col("m"), F.col("val")) < F.col("val")).alias("changed"),
-        )
-        curr = ck.step(i, nxt)
-        stats = curr.agg(
-            F.sum(F.col("changed").cast("long")).alias("nc"),
-            F.sum(F.when(F.col("changed"), F.col("outd")).otherwise(F.lit(0))).alias("ae"),
-        ).first()
-        ck.materialized()  # the agg's job populated the new state's cache
-        n_changed, active_edges = int(stats["nc"] or 0), int(stats["ae"] or 0)
+            # the frontier is always ≤ n_changed rows — broadcast it
+            # whenever it fits, dense supersteps included (the /20 rule
+            # decides which edges are SCANNED, not which join strategy
+            # fits in memory)
+            if n_changed <= BROADCAST_FRONTIER_MAX:
+                fr = F.broadcast(fr)
+            msgs = (
+                ew.join(fr, "src")
+                .groupBy("dst")
+                .agg(F.min(msg_expr).alias("m"))
+                .withColumnRenamed("dst", "id")
+            )
+            if small_state:
+                msgs = F.broadcast(msgs)
+            nxt = curr.join(msgs, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("val"), F.coalesce(F.col("m"), F.col("val"))
+                ).alias("val"),
+                "outd",
+                (F.coalesce(F.col("m"), F.col("val")) < F.col("val")).alias(
+                    "changed"
+                ),
+            )
+            curr = ck.step(i, nxt)
+            stats = curr.agg(
+                F.sum(F.col("changed").cast("long")).alias("nc"),
+                F.sum(
+                    F.when(F.col("changed"), F.col("outd")).otherwise(F.lit(0))
+                ).alias("ae"),
+            ).first()
+            ck.materialized()  # the agg's job populated the new state cache
+            n_changed, active_edges = int(stats["nc"] or 0), int(stats["ae"] or 0)
     return curr.select("id", "val")
 
 
@@ -527,60 +571,64 @@ def label_propagation(
     # bounded join sides explicitly when they fit (guide §3.1)
     small_state = int(stats["nv"] or 0) <= BROADCAST_STATE_MAX
     w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("lsrc").asc())
-    for i in range(iters):
-        if n_changed == 0:
-            break
-        sparse = active_edges < n_edges / SPARSE_DENOM
-        if metrics is not None:
-            metrics.append(
-                DFIterMetrics(i, "sparse" if sparse else "dense", n_changed, active_edges)
+    n_verts = int(stats["nv"] or 0)
+    with _small_graph_scope(
+        sym.sparkSession, n_verts, n_edges, disable_aqe=False
+    ):
+        for i in range(iters):
+            if n_changed == 0:
+                break
+            sparse = active_edges < n_edges / SPARSE_DENOM
+            if metrics is not None:
+                metrics.append(
+                    DFIterMetrics(i, "sparse" if sparse else "dense", n_changed, active_edges)
+                )
+            if sparse:
+                # touched dsts from the frontier, then ALL in-edges of those
+                # dsts (plain shuffle join on dst — the touched set is
+                # frontier-sized, not broadcastable in general)
+                fr = curr.where("changed").select(F.col("id").alias("src"))
+                if n_changed <= BROADCAST_FRONTIER_MAX:
+                    fr = F.broadcast(fr)
+                touched = sym.join(fr, "src").select("dst").distinct()
+                if small_state:  # ≤ one row per dst vertex
+                    touched = F.broadcast(touched)
+                base = sym.join(touched, "dst")
+            else:
+                base = sym
+            lab_src = curr.select(
+                F.col("id").alias("src"), F.col("label").alias("lsrc")
             )
-        if sparse:
-            # touched dsts from the frontier, then ALL in-edges of those
-            # dsts (plain shuffle join on dst — the touched set is
-            # frontier-sized, not broadcastable in general)
-            fr = curr.where("changed").select(F.col("id").alias("src"))
-            if n_changed <= BROADCAST_FRONTIER_MAX:
-                fr = F.broadcast(fr)
-            touched = sym.join(fr, "src").select("dst").distinct()
-            if small_state:  # ≤ one row per dst vertex
-                touched = F.broadcast(touched)
-            base = sym.join(touched, "dst")
-        else:
-            base = sym
-        lab_src = curr.select(
-            F.col("id").alias("src"), F.col("label").alias("lsrc")
-        )
-        if small_state:
-            lab_src = F.broadcast(lab_src)
-        counts = base.join(lab_src, "src").groupBy("dst", "lsrc").agg(
-            F.sum("cnt").alias("c")
-        )
-        pick = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(F.col("dst").alias("id"), F.col("lsrc").alias("newl"))
-        )
-        if small_state:
-            pick = F.broadcast(pick)
-        curr = ck.step(
-            i,
-            curr.join(pick, "id", "left").select(
-                "id",
-                F.coalesce(F.col("newl"), F.col("label")).alias("label"),
-                "outd",
-                (F.coalesce(F.col("newl"), F.col("label")) != F.col("label")).alias(
-                    "changed"
+            if small_state:
+                lab_src = F.broadcast(lab_src)
+            counts = base.join(lab_src, "src").groupBy("dst", "lsrc").agg(
+                F.sum("cnt").alias("c")
+            )
+            pick = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select(F.col("dst").alias("id"), F.col("lsrc").alias("newl"))
+            )
+            if small_state:
+                pick = F.broadcast(pick)
+            curr = ck.step(
+                i,
+                curr.join(pick, "id", "left").select(
+                    "id",
+                    F.coalesce(F.col("newl"), F.col("label")).alias("label"),
+                    "outd",
+                    (F.coalesce(F.col("newl"), F.col("label")) != F.col("label")).alias(
+                        "changed"
+                    ),
                 ),
-            ),
-            force=(i == iters - 1),
-        )
-        stats = curr.agg(
-            F.sum(F.col("changed").cast("long")).alias("nc"),
-            F.sum(F.when(F.col("changed"), F.col("outd")).otherwise(F.lit(0))).alias("ae"),
-        ).first()
-        ck.materialized()
-        n_changed, active_edges = int(stats["nc"] or 0), int(stats["ae"] or 0)
+                force=(i == iters - 1),
+            )
+            stats = curr.agg(
+                F.sum(F.col("changed").cast("long")).alias("nc"),
+                F.sum(F.when(F.col("changed"), F.col("outd")).otherwise(F.lit(0))).alias("ae"),
+            ).first()
+            ck.materialized()
+            n_changed, active_edges = int(stats["nc"] or 0), int(stats["ae"] or 0)
     sym.unpersist()
     return curr.select("id", "label")
 
@@ -922,7 +970,7 @@ def personalized_pagerank(
     n_verts = base.count()
     # no broadcast hints: lazy-chain kernel, see pagerank's r7 note
 
-    with _no_aqe_below(edges.sparkSession, n_verts, ew.count()):
+    with _small_graph_scope(edges.sparkSession, n_verts, ew.count()):
         if start is not None:
             curr = start.select("id", F.col("rank").alias("r"))
         else:
@@ -1043,42 +1091,46 @@ def hits(
     verts = _vertices_of(edges).persist()
     # checkpointed half-step states have no stats: hint the |V|-bounded
     # join sides explicitly when they fit (guide §3.1), same as pagerank
-    small_state = verts.count() <= BROADCAST_STATE_MAX
+    n_verts = verts.count()
+    small_state = n_verts <= BROADCAST_STATE_MAX
 
     def hinted(df):
         return F.broadcast(df) if small_state else df
 
-    hub = verts.select("id", F.lit(1.0).alias("h"))
-    auth = None
-    for i in range(iters):
-        araw = (
-            ew.join(hinted(hub.withColumnRenamed("id", "src")), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("h") * F.col("cnt")).alias("a"))
-            .withColumnRenamed("dst", "id")
-        )
-        auth = verts.join(hinted(araw), "id", "left").select(
-            "id", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
-        )
-        auth = ck.step(2 * i, auth)
-        na = auth.agg(F.sum("a")).first()[0] or 0.0
-        ck.materialized()
-        if na > 0:
-            auth = auth.select("id", (F.col("a") / F.lit(na)).alias("a"))
-        hraw = (
-            ew.join(hinted(auth.withColumnRenamed("id", "dst")), "dst")
-            .groupBy("src")
-            .agg(F.sum(F.col("a") * F.col("cnt")).alias("h"))
-            .withColumnRenamed("src", "id")
-        )
-        hub = verts.join(hinted(hraw), "id", "left").select(
-            "id", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
-        )
-        hub = ck.step(2 * i + 1, hub)
-        nh = hub.agg(F.sum("h")).first()[0] or 0.0
-        ck.materialized()
-        if nh > 0:
-            hub = hub.select("id", (F.col("h") / F.lit(nh)).alias("h"))
+    with _small_graph_scope(
+        ew.sparkSession, n_verts, ew.count(), disable_aqe=False
+    ):
+        hub = verts.select("id", F.lit(1.0).alias("h"))
+        auth = None
+        for i in range(iters):
+            araw = (
+                ew.join(hinted(hub.withColumnRenamed("id", "src")), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("h") * F.col("cnt")).alias("a"))
+                .withColumnRenamed("dst", "id")
+            )
+            auth = verts.join(hinted(araw), "id", "left").select(
+                "id", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
+            )
+            auth = ck.step(2 * i, auth)
+            na = auth.agg(F.sum("a")).first()[0] or 0.0
+            ck.materialized()
+            if na > 0:
+                auth = auth.select("id", (F.col("a") / F.lit(na)).alias("a"))
+            hraw = (
+                ew.join(hinted(auth.withColumnRenamed("id", "dst")), "dst")
+                .groupBy("src")
+                .agg(F.sum(F.col("a") * F.col("cnt")).alias("h"))
+                .withColumnRenamed("src", "id")
+            )
+            hub = verts.join(hinted(hraw), "id", "left").select(
+                "id", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
+            )
+            hub = ck.step(2 * i + 1, hub)
+            nh = hub.agg(F.sum("h")).first()[0] or 0.0
+            ck.materialized()
+            if nh > 0:
+                hub = hub.select("id", (F.col("h") / F.lit(nh)).alias("h"))
     ew.unpersist()
     out = auth.join(hub, "id").select(
         "id", F.col("a").alias("auth"), F.col("h").alias("hub")
@@ -1311,7 +1363,7 @@ def pagerank_weighted(
     base = verts.join(deg, "id", "left").fillna(0.0, subset=["outw"]).persist()
     n_verts = base.count()
     # no broadcast hints: lazy-chain kernel, see pagerank's r7 note
-    with _no_aqe_below(wedges.sparkSession, n_verts, ew.count()):
+    with _small_graph_scope(wedges.sparkSession, n_verts, ew.count()):
         curr = base.select(
             "id",
             F.when(F.col("outw") > 0, F.lit(1.0) / F.col("outw"))
